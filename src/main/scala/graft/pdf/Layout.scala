@@ -1,0 +1,338 @@
+package graft.pdf
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Geometric line/box reassembly: PDFMiner-style grouping of positioned
+  * chunks into lines, boxes and a reading-order plane.
+  * Mirrors pages_extractor.cc:42-466 semantics (incl. tuning constants). */
+object Layout {
+  final val LINE_OVERLAP = 0.5f
+  final val CHAR_MARGIN = 2.0f
+  final val WORD_MARGIN = 0.1f
+  final val LINE_MARGIN = 0.5f
+  final val BOXES_FLOW = 0.5f
+  final val MAX_BOXES = 300
+
+  @inline private def height(c: Coords): Float = c.y1 - c.y0
+  @inline private def widthC(c: Coords): Float = c.x1 - c.x0
+  @inline private def widthChunk(o: TextChunk): Float = (o.coordinates.x1 - o.coordinates.x0) / o.stringLen
+  @inline private def widthText(t: Text): Float =
+    (t.coordinates.x1 - t.coordinates.x0) / Lex.utf8Length(t.text)
+
+  private def isZeroString(line: TextChunk): Boolean =
+    widthC(line.coordinates) <= 0 || height(line.coordinates) <= 0
+
+  private def isVOverlap(a: Coords, b: Coords): Boolean = b.y0 <= a.y1 && a.y0 <= b.y1
+  private def isHOverlap(a: Coords, b: Coords): Boolean = b.x0 <= a.x1 && a.x0 <= b.x1
+
+  private def vOverlap(a: Coords, b: Coords): Float =
+    if (isVOverlap(a, b)) math.min(math.abs(a.y0 - b.y1), math.abs(a.y1 - b.y0)) else 0f
+
+  private def hDistance(a: Coords, b: Coords): Float =
+    if (isHOverlap(a, b)) 0f else math.min(math.abs(a.x0 - b.x1), math.abs(a.x1 - b.x0))
+
+  /** pages_extractor.cc:170-181 */
+  private def isHAlign(o1: TextChunk, o2: TextChunk): Boolean = {
+    val y00 = o1.coordinates.y0.toInt
+    val y01 = o1.coordinates.y1.toInt
+    val y10 = o2.coordinates.y0.toInt
+    val y11 = o2.coordinates.y1.toInt
+    (y00 == y10 && y01 == y11) ||
+      (isVOverlap(o1.coordinates, o2.coordinates) &&
+        (math.min(height(o1.coordinates), height(o2.coordinates)) * LINE_OVERLAP <
+          vOverlap(o1.coordinates, o2.coordinates)) &&
+        (hDistance(o1.coordinates, o2.coordinates) < math.max(widthChunk(o1), widthChunk(o2)) * CHAR_MARGIN))
+  }
+
+  /** pages_extractor.cc:223-231 */
+  private def clearEmptyStrings(chunks: ArrayBuffer[TextChunk]): Unit =
+    chunks.filterInPlace(c => !(c.stringLen == 0 || c.isEmpty))
+
+  /** pages_extractor.cc:183-221 — coalesce runs of zero-width/height chunks. */
+  private def groupZeroLines(lines: ArrayBuffer[TextChunk]): Unit = {
+    var startIdx = 0
+    var done = false
+    while (!done) {
+      var first = -1
+      var i = startIdx
+      while (first < 0 && i < lines.size) {
+        if (isZeroString(lines(i))) first = i else i += 1
+      }
+      if (first < 0) { done = true }
+      else {
+        var second = lines.size
+        i = first + 1
+        var found = false
+        while (!found && i < lines.size) {
+          if (isZeroString(lines(i))) { second = i; found = true } else i += 1
+        }
+        startIdx = second
+        if (second - first != 1) {
+          val head = lines(first)
+          var j = first + 1
+          while (j < second) {
+            val it = lines(j)
+            head.texts(0).text += it.texts(0).text
+            if (head.coordinates.x0 > it.coordinates.x0) head.coordinates.x0 = it.coordinates.x0
+            if (head.coordinates.x1 < it.coordinates.x1) head.coordinates.x1 = it.coordinates.x1
+            if (head.coordinates.y0 > it.coordinates.y0) head.coordinates.y0 = it.coordinates.y0
+            if (head.coordinates.y1 < it.coordinates.y1) head.coordinates.y1 = it.coordinates.y1
+            head.stringLen += it.stringLen
+            it.isEmpty = true
+            j += 1
+          }
+          head.texts(0).coordinates = head.coordinates.copyOf
+        }
+      }
+    }
+  }
+
+  /** pages_extractor.cc:259-267 */
+  private def add2line(line: TextChunk, obj: TextChunk): Unit = {
+    line.stringLen += obj.stringLen
+    obj.texts.foreach(t => line.texts += t.copyOf)
+    if (obj.coordinates.x0 < line.coordinates.x0) line.coordinates.x0 = obj.coordinates.x0
+    if (obj.coordinates.x1 > line.coordinates.x1) line.coordinates.x1 = obj.coordinates.x1
+    if (obj.coordinates.y0 < line.coordinates.y0) line.coordinates.y0 = obj.coordinates.y0
+    if (obj.coordinates.y1 > line.coordinates.y1) line.coordinates.y1 = obj.coordinates.y1
+  }
+
+  /** pages_extractor.cc:269-305 — sequential line builder over emission order. */
+  private def traverseSymbols(chunks: ArrayBuffer[TextChunk]): ArrayBuffer[TextChunk] = {
+    val result = ArrayBuffer.empty[TextChunk]
+    var line = new TextChunk
+    var obj0: TextChunk = null
+    chunks.foreach { obj1 =>
+      if (obj0 != null) {
+        val isCmp = isHAlign(obj0, obj1)
+        if (isCmp && !line.isEmpty) add2line(line, obj1)
+        else if (!line.isEmpty) {
+          result += line
+          line = new TextChunk // push copies; fresh empty line
+        } else if (isCmp) {
+          line = obj0.copyOf
+          line.isEmpty = false
+          add2line(line, obj1)
+        } else {
+          result += obj0.copyOf
+        }
+      }
+      obj0 = obj1
+    }
+    if (line.isEmpty && obj0 != null) result += obj0.copyOf
+    if (!line.isEmpty) result += line
+    result
+  }
+
+  /** pages_extractor.cc:354-382 — join a line's texts; insert ' ' on word gaps.
+    * Deliberately does NOT re-sort by x (reference comment at 360-369). */
+  private def mergeChars(chars: ArrayBuffer[TextChunk]): Unit = {
+    chars.foreach { line =>
+      if (line.texts.nonEmpty) {
+        val whole = new Text(line.coordinates.copyOf, "")
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < line.texts.size) {
+          sb.append(line.texts(i).text)
+          if (i != line.texts.size - 1 &&
+              line.texts(i).coordinates.x1 < line.texts(i + 1).coordinates.x0 -
+                math.max(height(line.texts(i + 1).coordinates), widthText(line.texts(i + 1))) * WORD_MARGIN) {
+            sb.append(' ')
+          }
+          i += 1
+        }
+        whole.text = sb.toString
+        line.texts = ArrayBuffer(whole)
+      }
+    }
+  }
+
+  /** pages_extractor.cc:384-390 */
+  private def makeTextLines(chunks: ArrayBuffer[TextChunk]): ArrayBuffer[TextChunk] = {
+    clearEmptyStrings(chunks)
+    val result = traverseSymbols(chunks)
+    mergeChars(result)
+    result
+  }
+
+  /** pages_extractor.cc:307-321 */
+  private def isNeighbourLines(o1: TextChunk, o2: TextChunk): Boolean = {
+    if (o1.isEmpty || o2.isEmpty) return false
+    val h1 = height(o1.coordinates)
+    val h2 = height(o2.coordinates)
+    val d = LINE_MARGIN * math.max(h1, h2)
+    math.abs(h1 - h2) < d &&
+      o2.coordinates.x1 > o1.coordinates.x0 && o2.coordinates.x0 < o1.coordinates.x1 &&
+      o2.coordinates.y0 < o1.coordinates.y1 + d && o2.coordinates.y1 > o1.coordinates.y0 - d &&
+      (math.abs(o1.coordinates.x0 - o2.coordinates.x0) < d ||
+        math.abs(o1.coordinates.x1 - o2.coordinates.x1) < d)
+  }
+
+  /** pages_extractor.cc:323-335 — transitive closure; consumes from `lines`. */
+  private def getNeighbourLines(lines: ArrayBuffer[TextChunk], lineArg: TextChunk): ArrayBuffer[TextChunk] = {
+    val result = ArrayBuffer(lineArg)
+    var i = 0
+    while (i < result.size) {
+      var j = 0
+      while (j < lines.size) {
+        if (isNeighbourLines(lines(j), result(i))) result += lines(j).moveOut()
+        j += 1
+      }
+      i += 1
+    }
+    result
+  }
+
+  /** pages_extractor.cc:233-257 — sort (y1 desc, x0 asc), join with '\n'. */
+  private def mergeLines(lines: ArrayBuffer[TextChunk]): TextChunk = {
+    if (lines.isEmpty) return new TextChunk
+    groupZeroLines(lines)
+    clearEmptyStrings(lines)
+    val sorted = lines.sortWith { (a, b) =>
+      if (a.coordinates.y1 != b.coordinates.y1) a.coordinates.y1 > b.coordinates.y1
+      else a.coordinates.x0 < b.coordinates.x0
+    }
+    if (sorted.isEmpty) return new TextChunk
+    val result = TextChunk.of(sorted(0).texts(0).text + "\n", sorted(0).coordinates.copyOf)
+    var i = 1
+    while (i < sorted.size) {
+      result.texts(0).text += sorted(i).texts(0).text + "\n"
+      if (sorted(i).coordinates.x0 < result.coordinates.x0) result.coordinates.x0 = sorted(i).coordinates.x0
+      if (sorted(i).coordinates.x1 > result.coordinates.x1) result.coordinates.x1 = sorted(i).coordinates.x1
+      if (sorted(i).coordinates.y0 < result.coordinates.y0) result.coordinates.y0 = sorted(i).coordinates.y0
+      if (sorted(i).coordinates.y1 > result.coordinates.y1) result.coordinates.y1 = sorted(i).coordinates.y1
+      result.stringLen += sorted(i).stringLen
+      i += 1
+    }
+    result.texts(0).coordinates = result.coordinates.copyOf
+    result
+  }
+
+  /** pages_extractor.cc:337-352 */
+  private def makeTextBoxes(lines: ArrayBuffer[TextChunk]): ArrayBuffer[TextChunk] = {
+    val textBoxes = ArrayBuffer.empty[TextChunk]
+    var it = lines.indexWhere(l => !l.isEmpty)
+    while (it >= 0) {
+      val line = mergeLines(getNeighbourLines(lines, lines(it).moveOut()))
+      if (!line.isEmpty) textBoxes += line
+      it = lines.indexWhere(l => !l.isEmpty, it)
+    }
+    groupZeroLines(textBoxes)
+    clearEmptyStrings(textBoxes)
+    textBoxes
+  }
+
+  /** pages_extractor.cc:392-400 — union-area minus areas (PDFMiner dist). */
+  private def getDist(o1: TextChunk, o2: TextChunk): Float = {
+    val x0 = math.min(o1.coordinates.x0, o2.coordinates.x0)
+    val y0 = math.min(o1.coordinates.y0, o2.coordinates.y0)
+    val x1 = math.max(o1.coordinates.x1, o2.coordinates.x1)
+    val y1 = math.max(o1.coordinates.y1, o2.coordinates.y1)
+    (x1 - x0) * (y1 - y0) -
+      widthC(o1.coordinates) * height(o1.coordinates) - widthC(o2.coordinates) * height(o2.coordinates)
+  }
+
+  /** pages_extractor.cc:97-111 */
+  private def isBetween(groups: ArrayBuffer[TextChunk], obj1: Int, obj2: Int): Boolean = {
+    val x0 = math.min(groups(obj1).coordinates.x0, groups(obj2).coordinates.x0)
+    val y0 = math.min(groups(obj1).coordinates.y0, groups(obj2).coordinates.y0)
+    val x1 = math.max(groups(obj1).coordinates.x1, groups(obj2).coordinates.x1)
+    val y1 = math.max(groups(obj1).coordinates.y1, groups(obj2).coordinates.y1)
+    groups.exists { obj =>
+      val c = obj.coordinates
+      c.x0 >= x0 && c.y0 >= y0 && c.x1 <= x1 && c.y1 <= y1 &&
+        !obj.isEmpty &&
+        !c.sameAs(groups(obj1).coordinates) && !c.sameAs(groups(obj2).coordinates)
+    }
+  }
+
+  /** pages_extractor.cc:113-135 — merge o2 into o1 in reading order. */
+  private def createGroup(groups: ArrayBuffer[TextChunk], obj1: Int, obj2: Int): Int = {
+    def pos(o: TextChunk): Float =
+      (1 - BOXES_FLOW) * o.coordinates.x0 - (1 + BOXES_FLOW) * (o.coordinates.y0 + o.coordinates.y1)
+    val pos1 = pos(groups(obj1))
+    val pos2 = pos(groups(obj2))
+    val o1 = if (pos1 <= pos2) obj1 else obj2
+    val o2 = if (pos1 <= pos2) obj2 else obj1
+    groups(o2).texts.foreach { t =>
+      if (t.coordinates.x0 < groups(o1).coordinates.x0) groups(o1).coordinates.x0 = t.coordinates.x0
+      if (t.coordinates.x1 > groups(o1).coordinates.x1) groups(o1).coordinates.x1 = t.coordinates.x1
+      if (t.coordinates.y0 < groups(o1).coordinates.y0) groups(o1).coordinates.y0 = t.coordinates.y0
+      if (t.coordinates.y1 > groups(o1).coordinates.y1) groups(o1).coordinates.y1 = t.coordinates.y1
+    }
+    groups(o1).texts ++= groups(o2).texts
+    groups(o2).texts = ArrayBuffer.empty
+    groups(o2).isEmpty = true
+    o1
+  }
+
+  private final class Dist(var c: Int, var d: Float, var obj1: Int, var obj2: Int)
+
+  /** pages_extractor.cc:402-412 */
+  private def boxesAsIs(boxes: ArrayBuffer[TextChunk]): TextChunk = {
+    val result = new TextChunk
+    result.texts = ArrayBuffer(new Text(new Coords(0, 0, 1, 1), ""))
+    val sb = new java.lang.StringBuilder
+    boxes.foreach { chunk =>
+      result.isEmpty = false
+      sb.append(chunk.texts(0).text)
+    }
+    result.texts(0).text = sb.toString
+    result
+  }
+
+  /** pages_extractor.cc:414-452 — greedy agglomerative clustering, capped. */
+  private def makePlane(boxes: ArrayBuffer[TextChunk]): TextChunk = {
+    if (boxes.isEmpty) return new TextChunk
+    if (boxes.size > MAX_BOXES) return boxesAsIs(boxes)
+    val dists = ArrayBuffer.empty[Dist]
+    var i = 0
+    while (i < boxes.size) {
+      var j = i + 1
+      while (j < boxes.size) {
+        dists += new Dist(0, getDist(boxes(i), boxes(j)), i, j)
+        j += 1
+      }
+      i += 1
+    }
+    while (dists.nonEmpty) {
+      // min_element by (c, d), first of equals
+      var minIdx = 0
+      var k = 1
+      while (k < dists.size) {
+        val a = dists(k)
+        val m = dists(minIdx)
+        if (a.c < m.c || (a.c == m.c && a.d < m.d)) minIdx = k
+        k += 1
+      }
+      val it = dists(minIdx)
+      if (it.c == 0 && isBetween(boxes, it.obj1, it.obj2)) {
+        it.c = 1
+      } else {
+        val d1 = it.obj1
+        val d2 = it.obj2
+        dists.filterInPlace(o => !(o.obj1 == d1 || o.obj1 == d2 || o.obj2 == d1 || o.obj2 == d2))
+        val group = createGroup(boxes, d1, d2)
+        var b = 0
+        while (b < boxes.size) {
+          if (b != group && !boxes(b).isEmpty) dists += new Dist(0, getDist(boxes(group), boxes(b)), group, b)
+          b += 1
+        }
+      }
+    }
+    val rem = boxes.find(g => !g.isEmpty)
+    rem.getOrElse(Lex.err("make_plane: all objects are moved"))
+  }
+
+  /** pages_extractor.cc:454-460 */
+  private def makeString(group: TextChunk): String = {
+    if (group.isEmpty) return ""
+    val sb = new java.lang.StringBuilder
+    group.texts.foreach(t => sb.append(t.text))
+    sb.toString
+  }
+
+  /** pages_extractor.cc:462-466 — the full per-chunk-group pipeline. */
+  def renderText(chunks: ArrayBuffer[TextChunk]): String =
+    makeString(makePlane(makeTextBoxes(makeTextLines(chunks))))
+}
