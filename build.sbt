@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // throughput GC: measured 0.81 scaling efficiency 8→32 threads on the
+  // allocation-heavy extraction kernel vs 0.70 with default G1
+  "-XX:+UseParallelGC",
 )

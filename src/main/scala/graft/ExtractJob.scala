@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Typed rows of the extraction pipeline (FIXTURES.md §1 / BASELINE input_hint). */
+object Model {
+  /** Input span: kind ∈ {text, pdf}. */
+  case class InSpan(kind: String, text: String, media_ref: String, offset: Int)
+  case class DocRow(doc_id: String, spans: Seq[InSpan])
+  case class MediaRow(media_ref: String, bytes: Array[Byte], size_bucket: Int)
+
+  /** Output span: kind ∈ {text, pdf_text, error}; order 0-based contiguous. */
+  case class OutSpan(doc_id: String, order: Int, kind: String, text: String, media_ref: String)
+
+  /** Per-media extraction result (tagged with the executing partition). */
+  case class Extracted(media_ref: String, ok: Boolean, text: String, error: String,
+                       bytes_in: Long, wall_us: Long, partition_id: Int)
+}
+
+/** The Spark-native extraction pipeline (north rule):
+  *
+  *   docs ⋈ media → salted size-bucket repartition → mapPartitions(kernel,
+  *   per-partition reused state) → ordered span output + lineage + metrics,
+  *   resumable from the last committed output.
+  *
+  * Scale design (100 TB / 1000 executors):
+  *  - each distinct media blob is extracted exactly ONCE (distinct pdf refs
+  *    joined against the media dimension), so shared attachments don't
+  *    re-extract per document;
+  *  - the only wide exchanges are (a) the ref⋈media join — AQE picks
+  *    broadcast when the ref set is small, sort-merge otherwise — and
+  *    (b) the extracted-text⋈spans join keyed on media_ref;
+  *  - skew from oversized PDFs is neutralized by repartitioning on
+  *    (size_bucket, salt): the salt spreads same-sized blobs uniformly and
+  *    size_bucket keeps 100 MB monsters from queueing behind each other;
+  *  - bytes never leave the media-side plan: extraction runs before the
+  *    spans join, so shuffled rows carry text, not binary payloads;
+  *  - resume is an anti-join against the committed output snapshot.
+  */
+object ExtractJob {
+  import Model._
+
+  /** Extract every needed media blob exactly once. */
+  def extractMedia(media: DataFrame, neededRefs: DataFrame, numPartitions: Int)(implicit spark: SparkSession): Dataset[Extracted] = {
+    import spark.implicits._
+    // AQE picks broadcast for a small ref set, sort-merge otherwise
+    val work = media.join(neededRefs, Seq("media_ref"))
+      .select(col("media_ref"), col("bytes"), col("size_bucket"))
+      // salted size-bucket repartition (north rule): spread uniform within
+      // a bucket, isolate buckets so giant PDFs don't straggle one task
+      .withColumn("salt", pmod(xxhash64(col("media_ref")), lit(numPartitions)))
+      .repartition(numPartitions, col("size_bucket"), col("salt"))
+      .select(col("media_ref").as[String], col("bytes").as[Array[Byte]]).as[(String, Array[Byte])]
+
+    work.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      it.map { case (ref, bytes) =>
+        val t0 = System.nanoTime()
+        try {
+          val text = graft.pdf.Pdf.pdf2txt(bytes)
+          Extracted(ref, ok = true, text, "", bytes.length.toLong, (System.nanoTime() - t0) / 1000, pid)
+        } catch {
+          case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+            Extracted(ref, ok = false, "", msg.take(200), bytes.length.toLong, (System.nanoTime() - t0) / 1000, pid)
+        }
+      }
+    }
+  }
+
+  /** Assemble the ordered span output. `extracted` rows are keyed by media_ref. */
+  def assembleSpans(docs: DataFrame, extracted: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val exploded = docs.select(col("doc_id"), posexplode(col("spans")).as(Seq("order", "span")))
+      .select(col("doc_id"), col("order"),
+        col("span.kind").as("in_kind"), col("span.text").as("in_text"), col("span.media_ref").as("media_ref"))
+    exploded.join(extracted.select(col("media_ref"), col("ok"), col("text").as("x_text")), Seq("media_ref"), "left")
+      .select(
+        col("doc_id"),
+        col("order"),
+        when(col("in_kind") === "text", lit("text"))
+          .when(col("ok") === true, lit("pdf_text"))
+          .otherwise(lit("error")).as("kind"),
+        when(col("in_kind") === "text", col("in_text"))
+          .when(col("ok") === true, col("x_text"))
+          .otherwise(lit("")).as("text"),
+        when(col("in_kind") === "text", lit("")).otherwise(col("media_ref")).as("media_ref"))
+  }
+
+  /** Full job with resume + lineage + metrics; emulates snapshot commit with
+    * a `_committed` marker (Iceberg jars are absent in the sandbox — see
+    * SURVEY.md §7 "Iceberg absent"). Returns the spans written this run. */
+  def run(docs0: DataFrame, media: DataFrame, outDir: String, runId: String,
+          numPartitions: Int = 0)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val parts = if (numPartitions > 0) numPartitions else spark.sessionState.conf.numShufflePartitions
+    val spansPath = s"$outDir/spans_out"
+    val committed = new java.io.File(s"$outDir/_committed")
+
+    // resume: drop doc_ids already present in the committed snapshot
+    val docs = if (committed.exists()) {
+      val done = spark.read.parquet(spansPath).select("doc_id").distinct()
+      docs0.join(done, Seq("doc_id"), "left_anti")
+    } else docs0
+
+    val exploded = docs.select(col("doc_id"), explode(col("spans")).as("span"))
+    val neededRefs = exploded.filter(col("span.kind") === "pdf")
+      .select(col("span.media_ref").as("media_ref")).distinct()
+
+    val extracted = extractMedia(media, neededRefs, parts)
+    extracted.cache() // reused by spans join + lineage/metrics aggregation
+
+    val spans = assembleSpans(docs, extracted.toDF())
+      .sortWithinPartitions("doc_id", "order")
+
+    val mode = if (committed.exists()) SaveMode.Append else SaveMode.Overwrite
+    spans.write.mode(mode).parquet(spansPath)
+
+    // per-partition lineage (north rule: lineage + metrics alongside results)
+    val lineage = extracted.groupBy(col("partition_id"))
+      .agg(count(lit(1)).as("media_in"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("media_ok"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("media_failed"),
+        sum(col("bytes_in")).as("bytes_in"),
+        (sum(col("wall_us")) / 1000).cast("long").as("wall_ms"))
+      .withColumn("run_id", lit(runId))
+      .withColumn("input_snapshot", lit(outDir))
+    lineage.write.mode(mode).parquet(s"$outDir/lineage")
+
+    val metrics = extracted.agg(
+      count(lit(1)).as("media_total"),
+      sum(when(col("ok"), 1L).otherwise(0L)).as("media_ok"),
+      sum(col("bytes_in")).as("bytes_total"))
+      .withColumn("run_id", lit(runId))
+    metrics.write.mode(mode).parquet(s"$outDir/metrics")
+
+    extracted.unpersist()
+    // atomic-ish snapshot commit marker (Iceberg stand-in)
+    java.nio.file.Files.write(committed.toPath, runId.getBytes)
+    spark.read.parquet(spansPath)
+  }
+}

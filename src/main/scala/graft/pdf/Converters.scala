@@ -15,11 +15,12 @@ final class CharsetConverter private (val encode: Int, val charset: Option[Chars
     case Encodings.IDENTITY =>
       (Encodings.toUtf8ByteString(s, Charset.forName("UTF-16BE")), CharsetConverter.widthIdentity(s, fonts))
     case Encodings.DEFAULT | Encodings.MAC_EXPERT | Encodings.MAC_ROMAN | Encodings.WIN =>
-      val table = Encodings.standardEncodings(encode)
+      val table = Encodings.standardEncodingArrays(encode)
       val sb = new java.lang.StringBuilder(s.length)
       var i = 0
       while (i < s.length) {
-        table.get(s.charAt(i) & 0xff).foreach(sb.append)
+        val v = table(s.charAt(i) & 0xff)
+        if (v != null) sb.append(v)
         i += 1
       }
       (sb.toString, fonts.getWidth(s))
@@ -27,12 +28,13 @@ final class CharsetConverter private (val encode: Int, val charset: Option[Chars
     case e => err(s"get_string: wrong encode value: $e")
   }
 
-  /** charset_converter.cc:125-132 — single-byte fallback decode. */
-  def getChar(c: Char): Option[String] = {
+  /** charset_converter.cc:125-132 — single-byte fallback decode.
+    * null = unmapped (Option avoided on the per-byte hot path). */
+  def getCharOrNull(c: Char): String = {
     val enc =
       if (encode == Encodings.MAC_EXPERT || encode == Encodings.MAC_ROMAN || encode == Encodings.WIN) encode
       else Encodings.DEFAULT
-    Encodings.standardEncodings(enc).get(c & 0xff)
+    Encodings.standardEncodingArrays(enc)(c & 0xff)
   }
 }
 
@@ -102,6 +104,13 @@ object CharsetConverter {
 /** /Differences override decoder (reference: diff_converter.cc). */
 final class DiffConverter private (differenceMap: Map[Int, String], val isEmpty: Boolean) {
 
+  // flat 0..255 view for the per-byte hot path; null = unmapped
+  private val flat: Array[String] = {
+    val a = new Array[String](256)
+    differenceMap.foreach { case (k, v) => if (k >= 0 && k < 256) a(k) = v }
+    a
+  }
+
   /** diff_converter.cc:78-93 — only mapped, non-empty glyphs contribute. */
   def getString(s: String, fonts: Fonts): (String, Float) = {
     val sb = new java.lang.StringBuilder(s.length)
@@ -109,19 +118,18 @@ final class DiffConverter private (differenceMap: Map[Int, String], val isEmpty:
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i) & 0xff
-      differenceMap.get(c) match {
-        case Some(v) if v.nonEmpty =>
-          sb.append(v)
-          width += fonts.getWidth(c)
-        case _ =>
+      val v = flat(c)
+      if (v != null && v.nonEmpty) {
+        sb.append(v)
+        width += fonts.getWidth(c)
       }
       i += 1
     }
     (sb.toString, width)
   }
 
-  /** diff_converter.cc:95-100 */
-  def getChar(c: Char): Option[String] = differenceMap.get(c & 0xff)
+  /** diff_converter.cc:95-100 — null = unmapped. */
+  def getCharOrNull(c: Char): String = flat(c & 0xff)
 }
 
 object DiffConverter {
@@ -230,13 +238,11 @@ final class ConverterEngine(
         // an empty-valued cmap hit leaves pos advanced; the reference then
         // reads s[i] which may be one past the end (C++ returns '\0' there)
         val c = if (pos.i < s.length) s.charAt(pos.i) else '\u0000'
-        val r = if (diffConverter.isEmpty) charsetConverter.getChar(c) else diffConverter.getChar(c)
-        r match {
-          case Some(v) =>
-            decoded.append(v)
-            decodedWidth += fonts.getWidth(c & 0xff)
-            len += 1
-          case None =>
+        val r = if (diffConverter.isEmpty) charsetConverter.getCharOrNull(c) else diffConverter.getCharOrNull(c)
+        if (r != null) {
+          decoded.append(r)
+          decodedWidth += fonts.getWidth(c & 0xff)
+          len += 1
         }
         pos.i += 1
       } else {

@@ -75,6 +75,18 @@ object Encodings {
     case _ => Lex.err(s"standard_encodings: no table for $enc")
   }
 
+  private def toArray256(m: Map[Int, String]): Array[String] = {
+    val a = new Array[String](256)
+    m.foreach { case (k, v) => if (k >= 0 && k < 256) a(k) = v }
+    a
+  }
+
+  /** Flat per-code lookup tables (null = unmapped) for the per-char hot
+    * path — avoids a boxed HashMap probe per byte. */
+  lazy val standardEncodingArrays: Array[Array[String]] = Array(
+    toArray256(standardEncoding), toArray256(macExpertEncoding),
+    toArray256(macRomanEncoding), toArray256(winAnsiEncoding))
+
   /** CMap name → charset name ("" = UTF-8 passthrough). */
   lazy val cidCharsets: Map[String, String] = {
     val m = mutable.HashMap.empty[String, String]

@@ -35,6 +35,7 @@ final class Fonts(storage: ObjectStorage, fontsDict: Dict) {
     f.fontMatrixType3 = fontMatrixType3
     f.currentFont = currentFont
     f.rise = rise
+    f.refreshCurrent()
     f
   }
 
@@ -207,13 +208,47 @@ final class Fonts(storage: ObjectStorage, fontsDict: Dict) {
     ascents.update(name, stdMetrics.get(baseFont).map(_._1).getOrElse(NO_ASCENT))
   }
 
+  // per-current-font cached state (all tables are immutable post-ctor, so
+  // caching on setCurrentFont preserves semantics while removing a HashMap
+  // probe + tuple allocation per glyph width lookup — the hot path)
+  private var curCodes: Array[Int] = null
+  private var curWidths: Array[Float] = null
+  private var curDefault: Float = 0f
+  private var curHScale: Float = 0.001f
+  private var curVScale: Float = 0.001f
+
+  private def refreshCurrent(): Unit = {
+    if (currentFont.nonEmpty && widths.contains(currentFont)) {
+      val (c, w) = widths(currentFont)
+      curCodes = c
+      curWidths = w
+      curDefault = defaultWidth(currentFont)
+      val s = if (types(currentFont) == OTHER) (0.001f, 0.001f)
+        else applyMatrixNorm(fontMatrixType3(currentFont), 1f, 1f)
+      curHScale = s._1
+      curVScale = s._2
+      curDescent = descents(currentFont)
+      curAscent = ascents(currentFont)
+      curHeight = heights(currentFont)
+    } else {
+      curCodes = null
+    }
+  }
+
+  private var curDescent: Float = 0f
+  private var curAscent: Float = 0f
+  private var curHeight: Float = 0f
+
   /** fonts.cc:55-62 — binary-searched width lookup × hscale. */
   def getWidth(code: Int): Float = {
-    val (codes, ws) = widths(currentFont)
-    if (codes.isEmpty) return defaultWidth(currentFont) * getScales()._1
-    val i = java.util.Arrays.binarySearch(codes, code)
-    if (i < 0) defaultWidth(currentFont) * getScales()._1
-    else ws(i) * getScales()._1
+    if (curCodes == null) { // unknown font name: fail like the reference's .at()
+      widths(currentFont)
+      err(s"get_width: no widths for $currentFont")
+    }
+    if (curCodes.isEmpty) return curDefault * curHScale
+    val i = java.util.Arrays.binarySearch(curCodes, code)
+    if (i < 0) curDefault * curHScale
+    else curWidths(i) * curHScale
   }
 
   /** fonts.cc:64-69 — per-byte width sum. */
@@ -229,22 +264,27 @@ final class Fonts(storage: ObjectStorage, fontsDict: Dict) {
 
   def getHeight: Float = {
     validateCurrentFont()
-    val h = heights(currentFont)
-    if (h == NO_HEIGHT) getAscent - getDescent else h * getScales()._2
+    if (curHeight == NO_HEIGHT) getAscent - getDescent else curHeight * curVScale
   }
 
-  def getDescent: Float = { validateCurrentFont(); descents(currentFont) * getScales()._2 }
-  def getAscent: Float = { validateCurrentFont(); ascents(currentFont) * getScales()._2 }
+  def getDescent: Float = { validateCurrentFont(); curDescent * curVScale }
+  def getAscent: Float = { validateCurrentFont(); curAscent * curVScale }
 
   def getCurrentFontDictionary: Dict = {
     validateCurrentFont()
     dictionaryPerFont(currentFont)
   }
 
-  def setCurrentFont(font: String): Unit = currentFont = font
+  def setCurrentFont(font: String): Unit = {
+    currentFont = font
+    refreshCurrent()
+  }
 
-  private def validateCurrentFont(): Unit =
+  private def validateCurrentFont(): Unit = {
     if (currentFont.isEmpty) err("validate_current_font: current font is not set")
+    // unknown font name → throw like the reference's map::at
+    if (curCodes == null) widths(currentFont)
+  }
 
   /** fonts.cc:332-336 */
   def getScales(): (Float, Float) = {

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.testkit.Corpus
+
+/** End-to-end Spark pipeline tests: span-sequence equality vs the
+  * by-construction oracle, error tolerance, and snapshot resume. */
+class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("extract-job-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("extract-spec").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("span-sequence equality on a 64-doc interleaved corpus") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val built = Corpus.build(nDocs = 64, heavyEvery = 16)
+    val docs = s.createDataset(built.docs).toDF()
+    val media = s.createDataset(built.media).toDF()
+    val out = tmpDir()
+    val got = ExtractJob.run(docs, media, out, runId = "t1")
+      .as[Model.OutSpan].collect().map(o => (o.doc_id, o.order, o.kind, o.text, o.media_ref)).sorted
+    val want = built.expected.map(o => (o.doc_id, o.order, o.kind, o.text, o.media_ref)).sorted.toArray
+    assert(got.length == want.length, s"row count ${got.length} vs ${want.length}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"span mismatch: got $g want $w") }
+    // lineage rows exist and account for every media blob exactly once
+    val lin = s.read.parquet(s"$out/lineage")
+    val totalIn = lin.agg(org.apache.spark.sql.functions.sum("media_in")).head.getLong(0)
+    assert(totalIn == built.media.size, s"lineage media_in $totalIn vs ${built.media.size}")
+  }
+
+  test("resume from committed snapshot: no dupes, no gaps") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val built = Corpus.build(nDocs = 24, heavyEvery = 1000)
+    val (firstHalf, secondHalf) = built.docs.splitAt(12)
+    val media = s.createDataset(built.media).toDF()
+    val out = tmpDir()
+    // run 1: only half the docs → committed snapshot
+    ExtractJob.run(s.createDataset(firstHalf).toDF(), media, out, runId = "r1")
+    // run 2: the FULL input — must skip the committed doc_ids
+    val after = ExtractJob.run(s.createDataset(built.docs).toDF(), media, out, runId = "r2")
+    val got = after.as[Model.OutSpan].collect().map(o => (o.doc_id, o.order, o.kind, o.text, o.media_ref)).sorted
+    val want = built.expected.map(o => (o.doc_id, o.order, o.kind, o.text, o.media_ref)).sorted.toArray
+    assert(got.length == want.length, s"resume rows ${got.length} vs ${want.length} (dupes or gaps)")
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+    assert(secondHalf.nonEmpty)
+  }
+
+  test("poison documents become error spans, job survives") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val docs = s.createDataset(Seq(
+      Model.DocRow("d1", Seq(Model.InSpan("pdf", "", "bad", 0), Model.InSpan("text", "ok", "", 1))))).toDF()
+    val media = s.createDataset(Seq(
+      Model.MediaRow("bad", "complete garbage".getBytes, 4))).toDF()
+    val out = tmpDir()
+    val got = ExtractJob.run(docs, media, out, runId = "t3").as[Model.OutSpan].collect().sortBy(_.order)
+    assert(got.length == 2)
+    assert(got(0).kind == "error" && got(0).media_ref == "bad")
+    assert(got(1).kind == "text" && got(1).text == "ok")
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan assertions: the plans we ship are the plans we want —
+  * filters pushed to the scan, pruned read schemas, broadcast where a side
+  * is small, whole-stage codegen on the hot paths. */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .where(col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30"), p)
+  }
+
+  test("column pruning: 2-column projection reads a 2-column schema") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_returnflag:string>"), p)
+  }
+
+  test("nation join broadcasts the small dimension") {
+    val df = SparkEntry.queries("q_join_nation_revenue")(spark, sfDir)
+    assert(plan(df).contains("BroadcastHashJoin"), plan(df))
+  }
+
+  test("agg query: map-side partial aggregation + codegen after AQE finalizes") {
+    val df = SparkEntry.queries("q_agg_pricing")(spark, sfDir)
+    assert(plan(df).contains("partial_count"), plan(df)) // map-side combine
+    df.collect() // finalize the adaptive plan
+    // "*(n)" prefixes mark whole-stage-codegen spans in the simple plan form
+    assert(plan(df).contains("*(1) HashAggregate"), plan(df))
+  }
+
+  test("dedup-by-hash shuffles hashes, not documents") {
+    val df = operators.TrainingOps.dedupExactByHash(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    val p = plan(df)
+    // hash computed below the exchange; the partial-agg row crossing the
+    // shuffle is [h, min, count] — the text column never leaves the scan stage
+    val partialLine = p.linesIterator.find(_.contains("partial_min")).getOrElse("")
+    assert(partialLine.nonEmpty && !partialLine.contains("text#"), p)
+    assert(p.contains("xxhash64"), p)
+  }
+
+  test("knn brute-force broadcasts the query side") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = operators.TrainingOps.knnBrute(e, e.limit(3), k = 5)
+    assert(plan(df).contains("BroadcastNestedLoopJoin") || plan(df).contains("BroadcastHashJoin"), plan(df))
+  }
+
+  test("extraction pipeline: single exchange per side, salted repartition present") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val built = graft.testkit.Corpus.build(nDocs = 4)
+    val docs = s.createDataset(built.docs).toDF()
+    val media = s.createDataset(built.media).toDF()
+    val refs = docs.select(explode(col("spans.media_ref")).as("media_ref")).distinct()
+    val spans = ExtractJob.assembleSpans(docs, ExtractJob.extractMedia(media, refs, 4).toDF())
+    val p = spans.queryExecution.executedPlan.toString
+    assert(p.contains("MapPartitions"), p) // kernel runs as a single narrow stage
+  }
+}

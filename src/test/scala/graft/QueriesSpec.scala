@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Smoke-runs every SparkEntry query on sf0.001 (rows ≥ 0, no exceptions,
+  * extraction queries nonempty) and sanity-checks key training ops. */
+class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("queries-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("entry: flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs; extraction and oracle-backed queries return rows") {
+    val mustBeNonEmpty = SparkEntry.oracleSql.keySet
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      info(s"$name -> $n rows")
+      if (mustBeNonEmpty.contains(name)) assert(n > 0, s"$name returned no rows")
+      else assert(n >= 0)
+    }
+  }
+
+  test("extraction query values match the fixture expectations") {
+    val sp = spark; import sp.implicits._
+    val df = SparkEntry.queries("x_pdf_fonts")(spark, sfDir)
+    val got = df.select("doc_id", "text").as[(String, String)].collect().toMap
+    assert(got("f06_widths_diff") == "AαβD\n")
+    assert(got("f07_cid_tounicode") == "Hij\n")
+    assert(got("f12_vertical_font") == "")
+  }
+
+  test("minhash LSH finds exact duplicates as candidate pairs") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about spark query processing engines"),
+      (4L, "the quick brown fox jumps over the lazy dog again and often"))
+      .toDF("doc_id", "text")
+    val pairs = operators.TrainingOps.minhashLshPairs(docs)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.contains((1L, 2L)), s"exact dup pair missing: $pairs")
+    assert(pairs((1L, 2L)) == 1.0)
+  }
+
+  test("knn brute vs lsh: lsh results are a scored subset") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.orderBy(col("vec_id")).limit(3)
+    val brute = operators.TrainingOps.knnBrute(e, q, k = 5)
+      .select("query_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = operators.TrainingOps.knnLsh(e, q, dim = 64, k = 5)
+      .select("query_id", "vec_id", "cos").collect()
+    assert(lsh.nonEmpty)
+    // any (q, v) pair scored by LSH must carry the same cosine as brute force
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(b => assert(math.abs(b - r.getDouble(2)) < 1e-12))
+    }
+  }
+
+  test("fingerprint is a deterministic rolling hash") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "abc")).toDF("doc_id", "text")
+    val fp = operators.TrainingOps.fingerprint(docs).as[(Long, Long)].collect().head._2
+    val want = "abc".foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 2147483647L)
+    assert(fp == want)
+  }
+}
