@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.udf
+
+/** Ad-hoc SQL surface for the extraction kernel (SURVEY.md §2.8(b)): scalar
+  * functions usable from `spark.sql(...)`. The typed `ExtractJob` pipeline
+  * remains the primary (and faster) surface — these are for exploration:
+  *
+  *   SELECT media_ref, pdf2txt(bytes) FROM media
+  *   SELECT posexplode(pdf2pages(bytes)) FROM media
+  */
+object PdfFunctions {
+
+  private val pdf2txtF = (bytes: Array[Byte]) =>
+    if (bytes == null) null else graft.pdf.Pdf.pdf2txt(bytes)
+
+  /** null on malformed input instead of failing the task. */
+  private val pdf2txtSafeF = (bytes: Array[Byte]) =>
+    if (bytes == null) null
+    else try graft.pdf.Pdf.pdf2txt(bytes) catch { case _: Exception => null }
+
+  private val pdf2pagesF = (bytes: Array[Byte]) =>
+    if (bytes == null) null else graft.pdf.Pdf.pdf2pages(bytes)
+
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("pdf2txt", udf(pdf2txtF))
+    spark.udf.register("pdf2txt_safe", udf(pdf2txtSafeF))
+    spark.udf.register("pdf2pages", udf(pdf2pagesF))
+  }
+}
