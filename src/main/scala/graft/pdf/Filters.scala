@@ -64,28 +64,30 @@ object Filters {
     result
   }
 
-  /** flate_decode.cc:43-55 */
+  /** flate_decode.cc:43-55 — inflates straight into the byte-string builder
+    * (one copy, no intermediate ByteArrayOutputStream). */
   def flateDecode(data: String, opts: Dict): String = {
     val in = toBytes(data)
     val inf = new Inflater()
     inf.setInput(in)
-    val out = new java.io.ByteArrayOutputStream(math.max(64, in.length * 4))
+    val sb = new java.lang.StringBuilder(math.max(64, in.length * 3))
     val buf = new Array[Byte](4096)
     try {
       var progressed = true
       while (!inf.finished() && progressed) {
         val n = inf.inflate(buf)
-        if (n > 0) out.write(buf, 0, n)
+        var k = 0
+        while (k < n) { sb.append((buf(k) & 0xff).toChar); k += 1 }
         // all input was provided up-front; no progress and input exhausted
         // means a truncated stream — the reference returns the partial data
         // when inflate leaves avail_out > 0
         progressed = n > 0 || (!inf.needsInput() && !inf.needsDictionary())
       }
-      if (out.size() == 0 && !inf.finished()) err("flate_decode: inflate error")
+      if (sb.length == 0 && !inf.finished()) err("flate_decode: inflate error")
     } catch {
       case _: DataFormatException => err("flate_decode: inflate error")
     } finally inf.end()
-    val result = fromBytes(out.toByteArray)
+    val result = sb.toString
     if (opts.isEmpty) result else predictorDecode(result, opts)
   }
 

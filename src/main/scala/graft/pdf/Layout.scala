@@ -234,16 +234,21 @@ object Layout {
 
   /** pages_extractor.cc:97-111 */
   private def isBetween(groups: ArrayBuffer[TextChunk], obj1: Int, obj2: Int): Boolean = {
-    val x0 = math.min(groups(obj1).coordinates.x0, groups(obj2).coordinates.x0)
-    val y0 = math.min(groups(obj1).coordinates.y0, groups(obj2).coordinates.y0)
-    val x1 = math.max(groups(obj1).coordinates.x1, groups(obj2).coordinates.x1)
-    val y1 = math.max(groups(obj1).coordinates.y1, groups(obj2).coordinates.y1)
-    groups.exists { obj =>
+    val c1 = groups(obj1).coordinates
+    val c2 = groups(obj2).coordinates
+    val x0 = math.min(c1.x0, c2.x0)
+    val y0 = math.min(c1.y0, c2.y0)
+    val x1 = math.max(c1.x1, c2.x1)
+    val y1 = math.max(c1.y1, c2.y1)
+    var k = 0
+    while (k < groups.size) {
+      val obj = groups(k)
       val c = obj.coordinates
-      c.x0 >= x0 && c.y0 >= y0 && c.x1 <= x1 && c.y1 <= y1 &&
-        !obj.isEmpty &&
-        !c.sameAs(groups(obj1).coordinates) && !c.sameAs(groups(obj2).coordinates)
+      if (c.x0 >= x0 && c.y0 >= y0 && c.x1 <= x1 && c.y1 <= y1 &&
+          !obj.isEmpty && !c.sameAs(c1) && !c.sameAs(c2)) return true
+      k += 1
     }
+    false
   }
 
   /** pages_extractor.cc:113-135 — merge o2 into o1 in reading order. */
@@ -266,7 +271,56 @@ object Layout {
     o1
   }
 
-  private final class Dist(var c: Int, var d: Float, var obj1: Int, var obj2: Int)
+  /** dist_t worklist as parallel primitive arrays (the reference's
+    * vector<dist_t> erase/push_back order semantics are preserved: removal
+    * compacts in order, new pairs append at the end). */
+  private final class DistList(capacity: Int) {
+    var c: Array[Byte] = new Array[Byte](capacity)
+    var d: Array[Float] = new Array[Float](capacity)
+    var o1: Array[Int] = new Array[Int](capacity)
+    var o2: Array[Int] = new Array[Int](capacity)
+    var size: Int = 0
+
+    def add(dv: Float, a: Int, b: Int): Unit = {
+      if (size == c.length) {
+        val n = c.length * 2
+        c = java.util.Arrays.copyOf(c, n)
+        d = java.util.Arrays.copyOf(d, n)
+        o1 = java.util.Arrays.copyOf(o1, n)
+        o2 = java.util.Arrays.copyOf(o2, n)
+      }
+      c(size) = 0
+      d(size) = dv
+      o1(size) = a
+      o2(size) = b
+      size += 1
+    }
+
+    /** first index with minimal (c, d) — min_element semantics. */
+    def minIndex: Int = {
+      var m = 0
+      var k = 1
+      while (k < size) {
+        if (c(k) < c(m) || (c(k) == c(m) && d(k) < d(m))) m = k
+        k += 1
+      }
+      m
+    }
+
+    /** drop every pair touching a or b, preserving order (remove_if). */
+    def removeTouching(a: Int, b: Int): Unit = {
+      var w = 0
+      var k = 0
+      while (k < size) {
+        if (!(o1(k) == a || o1(k) == b || o2(k) == a || o2(k) == b)) {
+          if (w != k) { c(w) = c(k); d(w) = d(k); o1(w) = o1(k); o2(w) = o2(k) }
+          w += 1
+        }
+        k += 1
+      }
+      size = w
+    }
+  }
 
   /** pages_extractor.cc:402-412 */
   private def boxesAsIs(boxes: ArrayBuffer[TextChunk]): TextChunk = {
@@ -285,37 +339,29 @@ object Layout {
   private def makePlane(boxes: ArrayBuffer[TextChunk]): TextChunk = {
     if (boxes.isEmpty) return new TextChunk
     if (boxes.size > MAX_BOXES) return boxesAsIs(boxes)
-    val dists = ArrayBuffer.empty[Dist]
+    val n = boxes.size
+    val dists = new DistList(math.max(16, n * (n - 1)))
     var i = 0
-    while (i < boxes.size) {
+    while (i < n) {
       var j = i + 1
-      while (j < boxes.size) {
-        dists += new Dist(0, getDist(boxes(i), boxes(j)), i, j)
+      while (j < n) {
+        dists.add(getDist(boxes(i), boxes(j)), i, j)
         j += 1
       }
       i += 1
     }
-    while (dists.nonEmpty) {
-      // min_element by (c, d), first of equals
-      var minIdx = 0
-      var k = 1
-      while (k < dists.size) {
-        val a = dists(k)
-        val m = dists(minIdx)
-        if (a.c < m.c || (a.c == m.c && a.d < m.d)) minIdx = k
-        k += 1
-      }
-      val it = dists(minIdx)
-      if (it.c == 0 && isBetween(boxes, it.obj1, it.obj2)) {
-        it.c = 1
+    while (dists.size > 0) {
+      val m = dists.minIndex
+      if (dists.c(m) == 0 && isBetween(boxes, dists.o1(m), dists.o2(m))) {
+        dists.c(m) = 1
       } else {
-        val d1 = it.obj1
-        val d2 = it.obj2
-        dists.filterInPlace(o => !(o.obj1 == d1 || o.obj1 == d2 || o.obj2 == d1 || o.obj2 == d2))
+        val d1 = dists.o1(m)
+        val d2 = dists.o2(m)
+        dists.removeTouching(d1, d2)
         val group = createGroup(boxes, d1, d2)
         var b = 0
         while (b < boxes.size) {
-          if (b != group && !boxes(b).isEmpty) dists += new Dist(0, getDist(boxes(group), boxes(b)), group, b)
+          if (b != group && !boxes(b).isEmpty) dists.add(getDist(boxes(group), boxes(b)), group, b)
           b += 1
         }
       }
