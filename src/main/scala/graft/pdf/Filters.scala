@@ -241,6 +241,9 @@ object Filters {
     var curRowIndex = 0
     val bpp = (bpcs * colors) >> 3
     val rows = (columns * colors * bpcs) >> 3
+    // poison guard: a row longer than the whole payload can never flush —
+    // the reference would allocate the giant row buffer and return ""
+    if (rows > data.length || rows < 0) return ""
     val prev = new Array[Byte](rows)
     val out = new java.lang.StringBuilder(data.length)
 

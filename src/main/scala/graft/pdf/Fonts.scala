@@ -115,8 +115,15 @@ final class Fonts(storage: ObjectStorage, fontsDict: Dict) {
         while (i < result.size) {
           result(i + 1).kind match {
             case Kind.VALUE =>
-              val firstChar = strictStoul(result(i).raw).toInt
-              val lastChar = strictStoul(result(i + 1).raw).toInt
+              val firstCharL = strictStoul(result(i).raw)
+              val lastCharL = strictStoul(result(i + 1).raw)
+              // poison guard (deviation from the reference, which would OOM
+              // building the per-code vector): CID codes are ≤ 65535, so a
+              // larger range is malformed — fail the document, not the JVM
+              if (lastCharL - firstCharL > (1 << 20))
+                err(s"insert_widths_from_w: absurd /W range $firstCharL..$lastCharL")
+              val firstChar = firstCharL.toInt
+              val lastChar = lastCharL.toInt
               val width = stof(result(i + 2).raw)
               var j = firstChar
               while (j <= lastChar) { pairs += ((j, width)); j += 1 }
