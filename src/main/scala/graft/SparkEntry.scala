@@ -157,6 +157,12 @@ object SparkEntry {
         val e = t(s, d, "embeddings")
         TrainingOps.knnLsh(e, e.orderBy(col("vec_id")).limit(5), dim = 64, k = 10)
       }),
+      "q_knn_ivf" -> ((s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        TrainingOps.knnIvf(e, e.orderBy(col("vec_id")).limit(5), dim = 64, k = 10)
+      }),
+      "q_token_count_bpe" -> ((s: SparkSession, d: String) =>
+        TrainingOps.tokenCountBpe(t(s, d, "documents"))),
       "q_semantic_dup_pairs" -> ((s: SparkSession, d: String) =>
         TrainingOps.semanticDupPairs(t(s, d, "embeddings"), dim = 64, threshold = 0.8)),
       "q_media_features" -> ((s: SparkSession, d: String) => {
@@ -209,6 +215,9 @@ object SparkEntry {
         "SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count FROM documents GROUP BY text",
       "q_token_count" ->
         s"SELECT doc_id, $nTokens AS n_tokens FROM documents",
+      "q_token_count_bpe" ->
+        ("SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) " +
+          "AS n_bpe_tokens FROM documents"),
       "q_quality" ->
         (s"SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars, $nTokens AS n_tokens, " +
           s"CASE WHEN LENGTH(text) < 50 THEN 'short' WHEN $nTokens > 20 THEN 'long' ELSE 'ok' END AS quality_bucket " +

