@@ -64,14 +64,21 @@ object Filters {
     result
   }
 
+  // per-thread reused decoder state (north star: "mapPartitions with reused
+  // decoder buffers") — one Inflater + scratch block per executor thread,
+  // reset between streams instead of reallocated per stream
+  private val tlInflater = ThreadLocal.withInitial[Inflater](() => new Inflater())
+  private val tlBuf = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](4096))
+
   /** flate_decode.cc:43-55 — inflates straight into the byte-string builder
     * (one copy, no intermediate ByteArrayOutputStream). */
   def flateDecode(data: String, opts: Dict): String = {
     val in = toBytes(data)
-    val inf = new Inflater()
+    val inf = tlInflater.get()
+    inf.reset()
     inf.setInput(in)
     val sb = new java.lang.StringBuilder(math.max(64, in.length * 3))
-    val buf = new Array[Byte](4096)
+    val buf = tlBuf.get()
     try {
       var progressed = true
       while (!inf.finished() && progressed) {
@@ -86,7 +93,7 @@ object Filters {
       if (sb.length == 0 && !inf.finished()) err("flate_decode: inflate error")
     } catch {
       case _: DataFormatException => err("flate_decode: inflate error")
-    } finally inf.end()
+    } finally inf.reset() // keep the thread-local instance alive for reuse
     val result = sb.toString
     if (opts.isEmpty) result else predictorDecode(result, opts)
   }
