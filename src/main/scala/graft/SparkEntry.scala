@@ -31,7 +31,7 @@ object SparkEntry {
     "x_pdf_layout" -> fx("f10_multicolumn", "f11_zero_width", "f13_tj_kerning"),
     "x_pdf_structure" -> fx("f08_xobject", "f09_rotate", "f15_annots"),
     "x_pdf_errors" -> fx("f16_garbage", "f01_minimal_flate"),
-    "x_pdf_fonts2" -> fx("f17_macroman", "f18_type3", "f22_truetype", "f25_fontfile1"),
+    "x_pdf_fonts2" -> fx("f17_macroman", "f18_type3", "f22_truetype", "f25_fontfile1", "f26_cjk_gbk"),
     "x_pdf_structure2" -> fx("f19_prev_chain", "f20_quote_ops", "f21_contents_array",
       "f23_lzw_tiff", "f24_inline_image"))
 
