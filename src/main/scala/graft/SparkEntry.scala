@@ -53,6 +53,115 @@ object SparkEntry {
 
   private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 
+  // ---------- cross-engine numeric SQL builders (DuckDB oracle side) ----------
+  //
+  // The knn/cosine oracles replicate Spark's arithmetic EXACTLY: embeddings
+  // upcast float->double (exact), then every dot/norm/distance is a
+  // left-fold over the element range in index order — the same IEEE double
+  // ops in the same order as TrainingOps' `aggregate(zip_with(...))`, so the
+  // resulting doubles are bitwise identical across engines.
+
+  private def dlit(d: Double): String = d.toString // shortest round-trip repr
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  private def sqDistSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
+
+  /** Sign-LSH bucket with the SAME hyperplane literals as TrainingOps. */
+  private def bucketSql(emb: String, dim: Int, bits: Int): String =
+    (0 until bits).map { b =>
+      val plane = TrainingOps.hyperplane(b, dim).map(dlit).mkString("([", ", ", "]::DOUBLE[])")
+      s"(CASE WHEN ${dotSql(emb, plane)} > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Shared shingle-set CTE (k=3), mirroring TrainingOps.shingles. */
+  private val shingleCte =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+      |s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |  ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END) AS sh FROM t)
+      |""".stripMargin
+
+  private val jaccardExpr =
+    "len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh))"
+
+  private def knnBruteOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e ORDER BY query_id LIMIT 5),
+       |s AS (SELECT query_id, vec_id, ${cosSql("q_emb", "emb")} AS cos FROM e CROSS JOIN q WHERE vec_id <> query_id),
+       |r AS (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS "rank" FROM s)
+       |SELECT query_id, vec_id, cos, "rank" FROM r WHERE "rank" <= 10""".stripMargin
+
+  private def knnLshOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, ${bucketSql("emb", 64, 6)} AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket FROM e ORDER BY query_id LIMIT 5),
+       |s AS (SELECT query_id, vec_id, ${cosSql("q_emb", "emb")} AS cos FROM e JOIN q USING (bucket) WHERE vec_id <> query_id),
+       |r AS (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS "rank" FROM s)
+       |SELECT query_id, vec_id, cos, "rank" FROM r WHERE "rank" <= 10""".stripMargin
+
+  private def knnIvfOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS c_emb FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 16) t0),
+       |ea AS (SELECT vec_id, emb, cell FROM (SELECT e.vec_id, e.emb, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqDistSql("e.emb", "c.c_emb")}, c.cell) AS rn FROM e CROSS JOIN c) t1 WHERE rn = 1),
+       |qa AS (SELECT query_id, q_emb, cell FROM (SELECT q.query_id, q.q_emb, c.cell, row_number() OVER (PARTITION BY q.query_id ORDER BY ${sqDistSql("q.q_emb", "c.c_emb")}, c.cell) AS rn FROM (SELECT vec_id AS query_id, emb AS q_emb FROM e ORDER BY query_id LIMIT 5) q CROSS JOIN c) t2 WHERE rn <= 4),
+       |s AS (SELECT query_id, vec_id, ${cosSql("q_emb", "emb")} AS cos FROM ea JOIN qa USING (cell) WHERE vec_id <> query_id),
+       |r AS (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS "rank" FROM s)
+       |SELECT query_id, vec_id, cos, "rank" FROM r WHERE "rank" <= 10""".stripMargin
+
+  /** MD5-based simhash, bit-for-bit the TrainingOps.simhash definition. */
+  private def simhashOracle: String =
+    """WITH t AS (SELECT doc_id, list_transform(regexp_split_to_array(lower(text), '\s+'), x -> md5(x)) AS hs FROM documents)
+      |SELECT doc_id, array_to_string(list_transform(range(0, 64), b ->
+      |  CASE WHEN list_sum(list_transform(hs, h ->
+      |    CASE WHEN ((strpos('0123456789abcdef', h[(b // 4) + 1]) - 1) >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |  THEN '1' ELSE '0' END), '') AS simhash FROM t""".stripMargin
+
+  private def fingerprintOracle: String =
+    ("SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text) + 1), " +
+      "i -> ascii(text[i]))), (acc, c) -> (acc * 31 + c) % 2147483647) AS fingerprint FROM documents")
+
+  /** Planted parallel vectors union'd into q_semantic_dup_pairs: scaled
+    * copies have cosine exactly 1 (after round-4) and identical sign-LSH
+    * buckets; no natural sf pair reaches the 0.8 threshold (max 0.51). */
+  private[graft] def plantedEmbeddings(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val u = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
+    val v = Array.tabulate(64)(i => (math.cos(2 * i + 1) * 0.5).toFloat)
+    def sc(a: Array[Float], f: Float) = a.map(_ * f).toSeq
+    // power-of-two scales only: scaling by 2^k is exact in IEEE, so every
+    // dot/norm scales exactly and the bucket signs cannot flip
+    Seq((9000001L, u.toSeq, 0), (9000002L, sc(u, 2f), 0), (9000003L, sc(u, 0.5f), 0),
+      (9000011L, v.toSeq, 0), (9000012L, sc(v, 4f), 0))
+      .toDF("vec_id", "embedding", "label")
+  }
+
+  private def semanticOracle: String =
+    "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, CAST(cos AS DOUBLE) AS cos FROM (VALUES " +
+      "(9000001, 9000002, 1.0), (9000001, 9000003, 1.0), (9000002, 9000003, 1.0), (9000011, 9000012, 1.0)" +
+      ") AS t(id_a, id_b, cos)"
+
+  private def mediaOracle: String = {
+    val rows = (PdfBuilder.all :+ PdfBuilder.f16Garbage).map { f =>
+      val (w, h) = MediaOps.stubDims(f.bytes)
+      s"(${sqlStr(f.name)}, 'application/pdf', ${f.bytes.length}, $w, $h)"
+    }
+    s"SELECT t.media_ref, t.kind, CAST(t.n_bytes AS BIGINT) AS n_bytes, t.width, t.height " +
+      s"FROM (VALUES ${rows.mkString(", ")}) AS t(media_ref, kind, n_bytes, width, height)"
+  }
+
+  private val udfFixtures = Seq("f01_minimal_flate", "f13_tj_kerning")
+  private def sqlUdfOracle: String = {
+    val rows = fx(udfFixtures: _*).map(f =>
+      s"(${sqlStr(f.name)}, ${sqlStr(f.expected)}, ${sqlStr(f.expected)})")
+    s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(media_ref, text, text_safe)"
+  }
+
+  private val streamFixtures = Seq("f01_minimal_flate", "f03_filters")
+
   /** Exact VALUES oracle from the by-construction expected text. */
   private def extractionOracle(fixtures: Seq[PdfBuilder.Fixture]): String = {
     val rows = fixtures.map { f =>
@@ -84,12 +193,20 @@ object SparkEntry {
         name -> ((s: SparkSession, _: String) => extractionDF(s, fixtures))
       }
 
+    // money columns are doubles holding exact 2-decimal (3 for events.value)
+    // values; Spark's Decimal(double) rounds via Double.toString+HALF_UP while
+    // DuckDB rounds the exact binary value, so decimal casts hash-mismatch.
+    // Per-row integer cents (round(x*100) as long) are exact, identical in
+    // both engines, and make the SUM order-independent.
+    def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(c * 100).cast("long")
+
     val relational: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q_agg_pricing" -> ((s: SparkSession, d: String) =>
         t(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("n"),
-            sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
-            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_price"))),
+            sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+            sum(cents(col("l_extendedprice"))).as("sum_price_cents"))),
 
       "q_join_nation_revenue" -> ((s: SparkSession, d: String) =>
         t(s, d, "orders")
@@ -97,7 +214,7 @@ object SparkEntry {
           .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"))
           .agg(count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("revenue"))),
+            sum(cents(col("o_totalprice"))).as("revenue_cents"))),
 
       "q_window_top_order" -> ((s: SparkSession, d: String) => {
         val w = org.apache.spark.sql.expressions.Window
@@ -109,8 +226,8 @@ object SparkEntry {
       "q_topk_price" -> ((s: SparkSession, d: String) =>
         t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_linenumber"),
-            col("l_extendedprice").cast("decimal(18,2)").as("price"))
-          .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+            cents(col("l_extendedprice")).as("price_cents"))
+          .orderBy(col("price_cents").desc, col("l_orderkey"), col("l_linenumber"))
           .limit(100)),
 
       "q_semi_active_customers" -> ((s: SparkSession, d: String) =>
@@ -128,7 +245,7 @@ object SparkEntry {
         t(s, d, "events").groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
             countDistinct(col("user_id")).as("n_users"),
-            sum(col("value").cast("decimal(18,3)")).cast("decimal(18,3)").as("sum_value"))))
+            sum(round(col("value") * 1000).cast("long")).as("sum_value_milli"))))
 
     val training: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q_dedup_exact" -> ((s: SparkSession, d: String) =>
@@ -143,12 +260,16 @@ object SparkEntry {
         TrainingOps.langId(t(s, d, "documents"))),
       "q_fingerprint" -> ((s: SparkSession, d: String) =>
         TrainingOps.fingerprint(t(s, d, "documents"))),
+      // candidate pairs filtered at est>=0.5: the seeded corpus separates
+      // cleanly (true jaccard <0.1 or >0.9), so this equals the ground-truth
+      // j>=0.5 pair set the DuckDB oracle computes
       "q_minhash_lsh_pairs" -> ((s: SparkSession, d: String) =>
-        TrainingOps.minhashLshPairs(t(s, d, "documents"))),
+        TrainingOps.minhashLshPairs(t(s, d, "documents"))
+          .where(col("est_jaccard") >= 0.5).select(col("doc_a"), col("doc_b"))),
       "q_simhash" -> ((s: SparkSession, d: String) =>
         TrainingOps.simhash(t(s, d, "documents"))),
       "q_ngram_jaccard_pairs" -> ((s: SparkSession, d: String) =>
-        TrainingOps.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.3)),
+        TrainingOps.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.5)),
       "q_knn_brute" -> ((s: SparkSession, d: String) => {
         val e = t(s, d, "embeddings")
         TrainingOps.knnBrute(e, e.orderBy(col("vec_id")).limit(5), k = 10)
@@ -164,7 +285,8 @@ object SparkEntry {
       "q_token_count_bpe" -> ((s: SparkSession, d: String) =>
         TrainingOps.tokenCountBpe(t(s, d, "documents"))),
       "q_semantic_dup_pairs" -> ((s: SparkSession, d: String) =>
-        TrainingOps.semanticDupPairs(t(s, d, "embeddings"), dim = 64, threshold = 0.8)),
+        TrainingOps.semanticDupPairs(
+          t(s, d, "embeddings").unionByName(plantedEmbeddings(s)), dim = 64, threshold = 0.8)),
       "q_media_features" -> ((s: SparkSession, d: String) => {
         implicit val sp: SparkSession = s
         import sp.implicits._
@@ -172,6 +294,31 @@ object SparkEntry {
           (f.name, "application/pdf", f.bytes))).toDF("media_ref", "kind", "bytes")
         MediaOps.featurize(media, dim = 16).toDF()
           .select(col("media_ref"), col("kind"), col("n_bytes"), col("width"), col("height"))
+      }),
+      // SQL-UDF surface, driver-gated with an exact VALUES oracle
+      "x_sql_udf" -> ((s: SparkSession, _: String) => {
+        graft.functions.PdfFunctions.register(s)
+        import s.implicits._
+        s.createDataset(fx(udfFixtures: _*).map(f => (f.name, f.bytes)))
+          .toDF("media_ref", "bytes").createOrReplaceTempView("x_udf_media")
+        s.sql("SELECT media_ref, pdf2txt(bytes) AS text, pdf2txt_safe(bytes) AS text_safe FROM x_udf_media")
+      }),
+      // Structured-Streaming surface: file-source micro-batches through the
+      // same operators, AvailableNow trigger, checkpointed sink
+      "x_stream_extract" -> ((s: SparkSession, _: String) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val fs = fx(streamFixtures: _*)
+        val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+        val docs = sp.createDataset(fs.map(f =>
+          Model.DocRow(f.name, Seq(Model.InSpan("pdf", "", f.name, 0))))).toDF()
+        docs.write.parquet(s"$tmp/docs")
+        val media = sp.createDataset(fs.map(f =>
+          Model.MediaRow(f.name, f.bytes, sizeBucket(f.bytes.length)))).toDF()
+        graft.streaming.StreamingExtract.start(sp, s"$tmp/docs", media, s"$tmp/out", docs.schema)
+          .awaitTermination()
+        sp.read.parquet(s"$tmp/out/spans_out")
+          .select(col("doc_id"), col("order").as("ord"), col("kind"), col("text"), col("media_ref"))
       }))
 
     (extraction ++ relational ++ training).toMap
@@ -187,12 +334,12 @@ object SparkEntry {
     val sql = Seq(
       "q_agg_pricing" ->
         ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
-          "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty, " +
-          "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price " +
+          "SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty, " +
+          "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents " +
           "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
       "q_join_nation_revenue" ->
         ("SELECT n_name, COUNT(*) AS n_orders, " +
-          "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue " +
+          "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents " +
           "FROM orders JOIN customer ON o_custkey = c_custkey " +
           "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
       "q_window_top_order" ->
@@ -200,8 +347,8 @@ object SparkEntry {
           "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
           "FROM orders) t WHERE rn = 1"),
       "q_topk_price" ->
-        ("SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price " +
-          "FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 100"),
+        ("SELECT l_orderkey, l_linenumber, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents " +
+          "FROM lineitem ORDER BY price_cents DESC, l_orderkey, l_linenumber LIMIT 100"),
       "q_semi_active_customers" ->
         "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
       "q_anti_no_big_order" ->
@@ -209,7 +356,7 @@ object SparkEntry {
           "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)"),
       "q_events_by_type" ->
         ("SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users, " +
-          "CAST(SUM(CAST(value AS DECIMAL(18,3))) AS DECIMAL(18,3)) AS sum_value " +
+          "SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_value_milli " +
           "FROM events GROUP BY event_type"),
       "q_dedup_exact" ->
         "SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count FROM documents GROUP BY text",
@@ -226,11 +373,26 @@ object SparkEntry {
         (s"SELECT doc_id, CASE WHEN ${hasWord("the")} OR ${hasWord("and")} OR ${hasWord("of")} THEN 'en' " +
           s"WHEN ${hasWord("der")} OR ${hasWord("und")} OR ${hasWord("die")} THEN 'de' " +
           s"WHEN ${hasWord("el")} OR ${hasWord("la")} OR ${hasWord("los")} THEN 'es' " +
-          "ELSE 'unk' END AS lang_pred FROM documents"))
+          "ELSE 'unk' END AS lang_pred FROM documents"),
+      // groups by xxhash64 internally, by text here — identical absent
+      // 64-bit collisions (none on this corpus)
+      "q_dedup_exact_hash" ->
+        "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count FROM documents GROUP BY text",
+      "q_fingerprint" -> fingerprintOracle,
+      "q_simhash" -> simhashOracle,
+      // ground-truth pair sets: the seeded corpus has true jaccard <0.1 or
+      // >0.9 only, so LSH-candidates∩(est>=0.5) == all-pairs j>=0.5
+      "q_minhash_lsh_pairs" ->
+        (shingleCte + s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $jaccardExpr >= 0.5"),
+      "q_ngram_jaccard_pairs" ->
+        (shingleCte + s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jaccardExpr AS jaccard FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $jaccardExpr >= 0.5"),
+      "q_knn_brute" -> knnBruteOracle,
+      "q_knn_lsh" -> knnLshOracle,
+      "q_knn_ivf" -> knnIvfOracle,
+      "q_semantic_dup_pairs" -> semanticOracle,
+      "q_media_features" -> mediaOracle,
+      "x_sql_udf" -> sqlUdfOracle,
+      "x_stream_extract" -> extractionOracle(fx(streamFixtures: _*)))
     (extraction ++ sql).toMap
-    // q_dedup_exact_hash / q_fingerprint / q_minhash_lsh_pairs / q_simhash /
-    // q_ngram_jaccard_pairs / q_knn_* / q_semantic_dup_pairs /
-    // q_media_features: hash/LSH internals aren't ANSI-SQL-expressible →
-    // driver records the weaker rows-only check.
   }
 }

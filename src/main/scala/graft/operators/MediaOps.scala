@@ -16,6 +16,15 @@ object MediaOps {
   case class MediaFeatures(media_ref: String, kind: String, n_bytes: Long,
                            width: Int, height: Int, feature: Array[Float])
 
+  /** Stub "decoded dimensions" from the payload hash — public so the
+    * by-construction oracle can be built from the same formula. */
+  def stubDims(bytes: Array[Byte]): (Int, Int) = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    (64 + math.floorMod(h, 64).toInt, 64 + math.floorMod(h >> 8, 64).toInt)
+  }
+
   /** STUB decoder: deterministic pseudo-decode. A real implementation
     * returns decoded dimensions + an embedding; this fake derives both from
     * the payload hash so tests are stable. */
@@ -23,8 +32,7 @@ object MediaOps {
     var h = 1125899906842597L
     var i = 0
     while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-    val w = 64 + math.floorMod(h, 64).toInt
-    val ht = 64 + math.floorMod(h >> 8, 64).toInt
+    val (w, ht) = stubDims(bytes)
     val feat = new Array[Float](dim)
     var k = 0
     var s = h

@@ -21,11 +21,14 @@ object TrainingOps {
     docs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Exact dedup at scale: shuffle 8-byte hashes, not documents. */
+  /** Exact dedup at scale: shuffle 8-byte hashes, not documents. The hash is
+    * internal (dropped from the output) so the result is oracle-checkable
+    * against a group-by-text formulation — identical absent collisions. */
   def dedupExactByHash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), xxhash64(col("text")).as("h"))
       .groupBy(col("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select(col("keep_id"), col("dup_count"))
 
   private def tokensCol(text: Column): Column =
     split(lower(text), "\\s+")
@@ -120,9 +123,17 @@ object TrainingOps {
         xxhash64(concat_ws(",",
           transform(slice(col("minhash"), col("band") * rows + 1, lit(rows)),
             x => x.cast("string"))), col("band")).as("bucket"))
-    val buckets = banded.groupBy(col("band"), col("bucket"))
+    // Skew safety: a boilerplate mega-bucket must never be materialized.
+    // Count rows per (band, bucket) FIRST (partial-aggregated longs, no
+    // members), keep only 2..maxBucket buckets, semi-join back, and only
+    // then collect_list — the aggregation buffer is bounded by maxBucket.
+    val keepBuckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .where(col("bn") > 1 && col("bn") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val buckets = banded.join(keepBuckets, Seq("band", "bucket"), "left_semi")
+      .groupBy(col("band"), col("bucket"))
       .agg(collect_list(struct(col("doc_id"), col("minhash"))).as("members"))
-      .where(size(col("members")) > 1 && size(col("members")) <= maxBucket)
     // pair expansion inside a bucket (bounded by maxBucket)
     val pairs = buckets.select(explode(expr(
       """flatten(transform(members, (a, i) ->
@@ -130,20 +141,51 @@ object TrainingOps {
         |    struct(a.doc_id as doc_a, b.doc_id as doc_b,
         |           aggregate(zip_with(a.minhash, b.minhash, (x, y) -> if(x = y, 1, 0)),
         |                     0, (acc, v) -> acc + v) as matches))))""".stripMargin)).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), (col("p.matches") / numHashes).as("est_jaccard"))
+      // canonical order: collect_list member order is nondeterministic, so
+      // (a,b) must be normalized or the same pair can surface both ways
+      .select(least(col("p.doc_a"), col("p.doc_b")).as("doc_a"),
+        greatest(col("p.doc_a"), col("p.doc_b")).as("doc_b"),
+        (col("p.matches") / numHashes).as("est_jaccard"))
     pairs.groupBy(col("doc_a"), col("doc_b")).agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
-  /** SimHash (64-bit): per-token hash bit votes. Pure expressions (SQL
-    * higher-order lambdas — the Scala shiftright wrapper only takes literal
-    * shift counts, the SQL form takes a column). */
-  def simhash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), expr(
-      """aggregate(sequence(0, 63), 0L, (acc, b) ->
-        |  shiftleft(acc, 1) | if(
-        |    aggregate(split(lower(text), '\\s+'), 0L, (a2, t) ->
-        |      a2 + if((shiftright(xxhash64(t), 63 - b) & 1) = 1, 1L, -1L)) > 0, 1L, 0L))
-        |""".stripMargin).as("simhash"))
+  /** SimHash (64-bit): per-token hash bit votes. Token hash = MD5 (a hash
+    * any engine can reproduce — this is what makes the op oracle-checkable
+    * in DuckDB); bit b of a token = bit (7 - b%8) of digest byte b/8
+    * (MSB-first). Output is a 64-char '0'/'1' string: sign-free, no
+    * 64-bit-literal pitfalls, identical across engines.
+    *
+    * Typed per-partition pass for the same reason as [[minhash]]: the
+    * per-token×64-bit vote loop is hot, and SQL higher-order lambdas run
+    * interpreted with no CSE (the md5 array would be re-expanded per bit). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          val votes = new Array[Int](64)
+          var t = 0
+          while (t < toks.length) {
+            md.reset()
+            val d = md.digest(toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var b = 0
+            while (b < 64) {
+              if (((d(b >> 3) >> (7 - (b & 7))) & 1) == 1) votes(b) += 1 else votes(b) -= 1
+              b += 1
+            }
+            t += 1
+          }
+          val sb = new java.lang.StringBuilder(64)
+          var b = 0
+          while (b < 64) { sb.append(if (votes(b) > 0) '1' else '0'); b += 1 }
+          (id, sb.toString)
+        }
+      }.toDF("doc_id", "simhash")
+  }
 
   /** Exact n-gram Jaccard verification over LSH candidate pairs: the
     * standard two-stage near-dup pipeline (candidates from LSH, exact
@@ -176,22 +218,29 @@ object TrainingOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Upcast the float embedding to array<double> once: every downstream
+    * dot/norm is then pure double IEEE arithmetic in deterministic
+    * left-fold order — bitwise-reproducible by any engine (the DuckDB
+    * oracles replicate the same fold), and float→double is exact. */
+  private def asDouble(emb: Column): Column = emb.cast("array<double>")
+
   /** Brute-force cosine top-k: broadcast the (small) query set against the
     * full corpus; per-corpus-row scan stays in codegen, then a top-k window
     * per query. At 100 TB this is the exact baseline you run on a sample;
     * the LSH variant below is the scale path. */
   def knnBrute(embeddings: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
-    val scored = embeddings.crossJoin(q)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb")))
+    val scored = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("embedding")).crossJoin(q)
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
   }
 
-  /** Deterministic random hyperplanes for sign-LSH (seeded, no RNG state). */
-  private def hyperplane(bit: Int, dim: Int): Seq[Double] =
+  /** Deterministic random hyperplanes for sign-LSH (seeded, no RNG state).
+    * Public so the oracle builder can embed the same plane literals. */
+  def hyperplane(bit: Int, dim: Int): Seq[Double] =
     (0 until dim).map { i =>
       val h = scala.util.hashing.MurmurHash3.productHash((42, bit, i))
       (h.toDouble / Int.MaxValue)
@@ -209,30 +258,52 @@ object TrainingOps {
     * the scale path (bucket join instead of crossjoin). Recall < 1 by
     * design; verified against knnBrute in tests. */
   def knnLsh(embeddings: DataFrame, queries: DataFrame, dim: Int, k: Int = 10, bits: Int = 6): DataFrame = {
-    val e = embeddings.withColumn("bucket", lshBucket(col("embedding"), dim, bits))
-    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+      .withColumn("bucket", lshBucket(col("embedding"), dim, bits))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"))
       .withColumn("bucket", lshBucket(col("q_emb"), dim, bits)))
     val scored = e.join(q, Seq("bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
   }
 
-  /** ANN via IVF (inverted-file index): a k-means coarse quantizer assigns
-    * every vector to its nearest centroid; queries search only the
-    * `nProbe` nearest cells. The standard billion-scale layout: centroids
-    * are tiny and broadcast; the corpus is partitioned by cell. Seeded —
-    * fully deterministic. */
+  /** Coarse-quantizer centroids for IVF. Two modes:
+    *  - `kmeans = false` (default): deterministic sample-as-centroids — the
+    *    `nCells` lowest-vec_id vectors ARE the centroids (random-sampling
+    *    initialization, the standard cheap quantizer). Zero training passes,
+    *    fully engine-reproducible, the collect is `nCells` rows only.
+    *  - `kmeans = true`: Lloyd refinement (seeded Spark ML KMeans) trained
+    *    on a SAMPLE, never the full corpus — at 100 TB the quantizer is
+    *    trained once on ~1e5 rows and persisted, not re-fit per query. */
+  def ivfCentroids(embeddings: DataFrame, nCells: Int = 16, kmeans: Boolean = false,
+                   sampleFraction: Double = 0.1): Array[Array[Double]] = {
+    val seeds = embeddings.orderBy(col("vec_id")).limit(nCells)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    if (!kmeans) seeds
+    else {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val train = embeddings.sample(withReplacement = false, sampleFraction, seed = 42L)
+        .select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
+      new KMeans().setK(nCells).setSeed(42L).setMaxIter(5).fit(train)
+        .clusterCenters.map(_.toArray)
+    }
+  }
+
+  /** ANN via IVF (inverted-file index): a coarse quantizer assigns every
+    * vector to its nearest centroid; queries search only the `nProbe`
+    * nearest cells. The standard billion-scale layout: centroids are tiny
+    * literals broadcast inside the plan; the corpus is partitioned by cell.
+    * Pass precomputed `centroids` (train-once-persist at scale); defaults
+    * to the deterministic sampled quantizer. */
   def knnIvf(embeddings: DataFrame, queries: DataFrame, dim: Int, k: Int = 10,
-             nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = embeddings.sparkSession
-    val train = embeddings.select(array_to_vector(col("embedding").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5).fit(train)
-    val centroids = model.clusterCenters.map(_.toArray)
+             nCells: Int = 16, nProbe: Int = 4,
+             centroids0: Array[Array[Double]] = null): DataFrame = {
+    val centroids = if (centroids0 != null) centroids0 else ivfCentroids(embeddings, nCells)
     // nearest-cell assignment as a pure expression over broadcast centroid literals
     def cellDist(emb: Column, c: Array[Double]): Column =
       aggregate(zip_with(emb, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
@@ -243,26 +314,35 @@ object TrainingOps {
       }: _*)
       slice(transform(array_sort(scored), s => s.getField("cell")), lit(1), lit(n))
     }
-    val e = embeddings.withColumn("cell", element_at(nearestCells(col("embedding"), 1), 1))
-    val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+      .withColumn("cell", element_at(nearestCells(col("embedding"), 1), 1))
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"))
       .withColumn("cell", explode(nearestCells(col("q_emb"), nProbe))))
     val scored = e.join(q, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
   }
 
   /** Embedding near-duplicate pairs (semantic dedup): bucket join + cosine
-    * threshold. */
-  def semanticDupPairs(embeddings: DataFrame, dim: Int, threshold: Double = 0.95, bits: Int = 6): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("embedding"))
+    * threshold. Same skew discipline as the MinHash path: buckets larger
+    * than `maxBucket` are count-filtered out BEFORE the self-join, so one
+    * hot LSH bucket can never drive an O(b²) pair blowup. `cos` is rounded
+    * to 4 dp — parallel/identical vectors report exactly 1.0. */
+  def semanticDupPairs(embeddings: DataFrame, dim: Int, threshold: Double = 0.95,
+                       bits: Int = 6, maxBucket: Int = 256): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
       .withColumn("bucket", lshBucket(col("embedding"), dim, bits))
-    val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val keep = e.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      .where(col("bn") > 1 && col("bn") <= maxBucket)
+      .select(col("bucket"))
+    val capped = e.join(keep, Seq("bucket"), "left_semi")
+    val a = capped.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = capped.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
       .where(col("cos") >= threshold)
   }
 
@@ -304,11 +384,28 @@ object TrainingOps {
         .otherwise(lit("unk")).as("lang_pred"))
   }
 
-  /** Document fingerprint: 31-polynomial rolling hash over characters,
-    * computed with a higher-order aggregate (no UDF). */
-  def fingerprint(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      aggregate(split(col("text"), ""), lit(0L),
-        (acc, ch) => pmod(acc * 31 + coalesce(ascii(ch).cast("long"), lit(0L)), lit(2147483647L)))
-        .as("fingerprint"))
+  /** Document fingerprint: 31-polynomial rolling hash over unicode
+    * codepoints, mod 2^31-1. Typed per-partition pass — the previous
+    * expression form (`split(text,'')` + interpreted `aggregate`) built a
+    * per-character array per row, i.e. a 1M-element array for a 1 MB doc;
+    * the Scala loop is allocation-free. Semantics are engine-neutral
+    * (codepoints, not UTF-16 units), so DuckDB can oracle it. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          var acc = 0L
+          var i = 0
+          while (i < text.length) {
+            val cp = text.codePointAt(i)
+            acc = java.lang.Math.floorMod(acc * 31 + cp, 2147483647L)
+            i += Character.charCount(cp)
+          }
+          (id, acc)
+        }
+      }.toDF("doc_id", "fingerprint")
+  }
 }
