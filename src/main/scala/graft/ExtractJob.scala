@@ -70,37 +70,53 @@ object ExtractJob {
     }
   }
 
-  /** Assemble the ordered span output. `extracted` rows are keyed by media_ref. */
+  /** Assemble the ordered span output. `extracted` rows are keyed by
+    * media_ref. Only pdf spans join on media_ref — text spans carry
+    * media_ref="" and would all land on ONE key; at scale that single hot
+    * key breaks a sort-merge fallback, so they bypass the join entirely
+    * and union back in. */
   def assembleSpans(docs: DataFrame, extracted: DataFrame)(implicit spark: SparkSession): DataFrame = {
     val exploded = docs.select(col("doc_id"), posexplode(col("spans")).as(Seq("order", "span")))
       .select(col("doc_id"), col("order"),
         col("span.kind").as("in_kind"), col("span.text").as("in_text"), col("span.media_ref").as("media_ref"))
-    exploded.join(extracted.select(col("media_ref"), col("ok"), col("text").as("x_text")), Seq("media_ref"), "left")
+    val pdfSpans = exploded.where(col("in_kind") =!= "text")
+      .join(extracted.select(col("media_ref"), col("ok"), col("text").as("x_text")), Seq("media_ref"), "left")
       .select(
-        col("doc_id"),
-        col("order"),
-        when(col("in_kind") === "text", lit("text"))
-          .when(col("ok") === true, lit("pdf_text"))
-          .otherwise(lit("error")).as("kind"),
-        when(col("in_kind") === "text", col("in_text"))
-          .when(col("ok") === true, col("x_text"))
-          .otherwise(lit("")).as("text"),
-        when(col("in_kind") === "text", lit("")).otherwise(col("media_ref")).as("media_ref"))
+        col("doc_id"), col("order"),
+        when(col("ok") === true, lit("pdf_text")).otherwise(lit("error")).as("kind"),
+        when(col("ok") === true, col("x_text")).otherwise(lit("")).as("text"),
+        col("media_ref"))
+    val textSpans = exploded.where(col("in_kind") === "text")
+      .select(col("doc_id"), col("order"), lit("text").as("kind"),
+        col("in_text").as("text"), lit("").as("media_ref"))
+    pdfSpans.unionByName(textSpans)
   }
 
-  /** Full job with resume + lineage + metrics; emulates snapshot commit with
-    * a `_committed` marker (Iceberg jars are absent in the sandbox — see
-    * SURVEY.md §7 "Iceberg absent"). Returns the spans written this run. */
+  /** Full job with resume + lineage + metrics; emulates Iceberg snapshot
+    * commits with per-run staged directories plus an atomically-replaced
+    * `_committed` manifest (Iceberg jars are absent in the sandbox — see
+    * SURVEY.md §7 "Iceberg absent").
+    *
+    * Commit protocol: each run writes spans/lineage/metrics under its own
+    * `run=<id>` directory, then the manifest is swapped via temp-file +
+    * ATOMIC_MOVE. A crash mid-run leaves partial files in an UNLISTED
+    * directory — invisible to resume, so those docs are re-extracted by the
+    * next run (no silent gaps) and never double-counted (no dupes).
+    * Returns the full committed span output. */
   def run(docs0: DataFrame, media: DataFrame, outDir: String, runId: String,
           numPartitions: Int = 0)(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val parts = if (numPartitions > 0) numPartitions else spark.sessionState.conf.numShufflePartitions
-    val spansPath = s"$outDir/spans_out"
-    val committed = new java.io.File(s"$outDir/_committed")
+    val committedFile = Paths.get(s"$outDir/_committed")
+    val committedRuns: Seq[String] =
+      if (Files.exists(committedFile))
+        new String(Files.readAllBytes(committedFile), "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
+      else Seq.empty
+    def spansDir(r: String) = s"$outDir/spans_out/run=$r"
 
-    // resume: drop doc_ids already present in the committed snapshot
-    val docs = if (committed.exists()) {
-      val done = spark.read.parquet(spansPath).select("doc_id").distinct()
+    // resume: drop doc_ids present in COMMITTED runs only
+    val docs = if (committedRuns.nonEmpty) {
+      val done = spark.read.parquet(committedRuns.map(spansDir): _*).select("doc_id").distinct()
       docs0.join(done, Seq("doc_id"), "left_anti")
     } else docs0
 
@@ -109,13 +125,13 @@ object ExtractJob {
       .select(col("span.media_ref").as("media_ref")).distinct()
 
     val extracted = extractMedia(media, neededRefs, parts)
-    extracted.cache() // reused by spans join + lineage/metrics aggregation
+    // reused by the spans join + lineage/metrics aggregation; DISK_ONLY —
+    // the extracted text of a whole input split must not pin executor heap
+    extracted.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
     val spans = assembleSpans(docs, extracted.toDF())
       .sortWithinPartitions("doc_id", "order")
-
-    val mode = if (committed.exists()) SaveMode.Append else SaveMode.Overwrite
-    spans.write.mode(mode).parquet(spansPath)
+    spans.write.mode(SaveMode.Overwrite).parquet(spansDir(runId))
 
     // per-partition lineage (north rule: lineage + metrics alongside results)
     val lineage = extracted.groupBy(col("partition_id"))
@@ -126,18 +142,21 @@ object ExtractJob {
         (sum(col("wall_us")) / 1000).cast("long").as("wall_ms"))
       .withColumn("run_id", lit(runId))
       .withColumn("input_snapshot", lit(outDir))
-    lineage.write.mode(mode).parquet(s"$outDir/lineage")
+    lineage.write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineage/run=$runId")
 
     val metrics = extracted.agg(
       count(lit(1)).as("media_total"),
       sum(when(col("ok"), 1L).otherwise(0L)).as("media_ok"),
       sum(col("bytes_in")).as("bytes_total"))
       .withColumn("run_id", lit(runId))
-    metrics.write.mode(mode).parquet(s"$outDir/metrics")
+    metrics.write.mode(SaveMode.Overwrite).parquet(s"$outDir/metrics/run=$runId")
 
     extracted.unpersist()
-    // atomic-ish snapshot commit marker (Iceberg stand-in)
-    java.nio.file.Files.write(committed.toPath, runId.getBytes)
-    spark.read.parquet(spansPath)
+    // snapshot commit: the run becomes visible only via the atomic swap
+    val allRuns = (committedRuns :+ runId).distinct
+    val tmp = Paths.get(s"$outDir/_committed.tmp")
+    Files.write(tmp, allRuns.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, committedFile, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    spark.read.parquet(allRuns.map(spansDir): _*)
   }
 }

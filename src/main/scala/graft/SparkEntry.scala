@@ -25,7 +25,8 @@ object SparkEntry {
   private val extractionSets: Seq[(String, Seq[PdfBuilder.Fixture])] = Seq(
     "x_pdf_classic" -> fx("f01_minimal_flate", "f14_damaged_xref"),
     "x_pdf_xrefstream" -> fx("f02_xrefstream_objstm"),
-    "x_pdf_filters" -> fx("f03_filters"),
+    "x_pdf_filters" -> fx("f03_filters", "f28_runlength"),
+    "x_pdf_state" -> fx("f27_state_ops"),
     "x_pdf_crypto" -> fx("f04_rc4", "f05_aesv2"),
     "x_pdf_fonts" -> fx("f06_widths_diff", "f07_cid_tounicode", "f12_vertical_font"),
     "x_pdf_layout" -> fx("f10_multicolumn", "f11_zero_width", "f13_tj_kerning"),

@@ -57,6 +57,7 @@ object Filters {
         case "/LZWDecode" => lzwDecode(result, params(i))
         case "/ASCII85Decode" => ascii85Decode(result, params(i))
         case "/ASCIIHexDecode" => asciiHexDecode(result, params(i))
+        case "/RunLengthDecode" | "/RL" => runLengthDecode(result, params(i))
         case f => err(s"decode: unknown filter $f")
       }
       i += 1
@@ -94,6 +95,33 @@ object Filters {
     } catch {
       case _: DataFormatException => err("flate_decode: inflate error")
     } finally inf.reset() // keep the thread-local instance alive for reuse
+    val result = sb.toString
+    if (opts.isEmpty) result else predictorDecode(result, opts)
+  }
+
+  /** /RunLengthDecode (PDF 32000-1 §7.4.5; absent from the reference but
+    * named in the mandate's filter list): length byte L — L<128 copies the
+    * next L+1 bytes literally, L>128 repeats the next byte 257-L times,
+    * L=128 is EOD. Truncated input yields the partial data (matching the
+    * permissive posture of the other codecs here). */
+  def runLengthDecode(data: String, opts: Dict): String = {
+    val sb = new java.lang.StringBuilder(math.max(64, data.length))
+    var i = 0
+    var done = false
+    while (!done && i < data.length) {
+      val l = data.charAt(i) & 0xff
+      i += 1
+      if (l == 128) done = true
+      else if (l < 128) {
+        var k = 0
+        while (k <= l && i < data.length) { sb.append(data.charAt(i)); i += 1; k += 1 }
+      } else if (i < data.length) {
+        val c = data.charAt(i)
+        i += 1
+        var k = 257 - l
+        while (k > 0) { sb.append(c); k -= 1 }
+      }
+    }
     val result = sb.toString
     if (opts.isEmpty) result else predictorDecode(result, opts)
   }

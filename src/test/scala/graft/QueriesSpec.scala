@@ -79,6 +79,37 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("LSH mega-bucket is count-filtered out before any member collection") {
+    val sp = spark; import sp.implicits._
+    // 2000 identical boilerplate docs form one giant bucket per band; with
+    // maxBucket=64 the count-filter drops them pre-collect_list, so only
+    // the small planted pair survives
+    val boiler = (1 to 2000).map(i =>
+      (i.toLong, "common boilerplate text repeated across the corpus every single time"))
+    val planted = Seq(
+      (100001L, "a unique near duplicate sentence about spark query engines"),
+      (100002L, "a unique near duplicate sentence about spark query engines"))
+    val docs = (boiler ++ planted).toDF("doc_id", "text")
+    val q = operators.TrainingOps.minhashLshPairs(docs, maxBucket = 64)
+    // the cap must act as a pre-collect semi-join, not a post-collect filter
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    val pairs = q.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100001L, 100002L)), s"got $pairs")
+  }
+
+  test("semantic dup pairs: bucket cap excludes a planted mega-bucket") {
+    val sp = spark; import sp.implicits._
+    val u = Array.tabulate(16)(i => math.sin(i + 1).toFloat).toSeq
+    val v = Array.tabulate(16)(i => math.cos(2 * i + 1).toFloat).toSeq
+    val mega = (1 to 300).map(i => (i.toLong, u, 0))
+    val pair = Seq((9001L, v, 0), (9002L, v, 0))
+    val emb = (mega ++ pair).toDF("vec_id", "embedding", "label")
+    val got = operators.TrainingOps.semanticDupPairs(emb, dim = 16, threshold = 0.99, maxBucket = 256)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((9001L, 9002L)), s"got $got")
+  }
+
   test("fingerprint is a deterministic rolling hash") {
     val sp = spark; import sp.implicits._
     val docs = Seq((1L, "abc")).toDF("doc_id", "text")
