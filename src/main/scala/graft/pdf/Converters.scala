@@ -16,14 +16,25 @@ final class CharsetConverter private (val encode: Int, val charset: Option[Chars
       (Encodings.toUtf8ByteString(s, Charset.forName("UTF-16BE")), CharsetConverter.widthIdentity(s, fonts))
     case Encodings.DEFAULT | Encodings.MAC_EXPERT | Encodings.MAC_ROMAN | Encodings.WIN =>
       val table = Encodings.standardEncodingArrays(encode)
-      val sb = new java.lang.StringBuilder(s.length)
-      var i = 0
-      while (i < s.length) {
-        val v = table(s.charAt(i) & 0xff)
-        if (v != null) sb.append(v)
-        i += 1
+      // fast path: every byte maps to itself (ASCII body of the standard
+      // encodings) — return the input string, no per-show rebuild
+      var id = 0
+      while (id < s.length) {
+        val v = table(s.charAt(id) & 0xff)
+        if (v == null || v.length != 1 || v.charAt(0) != s.charAt(id)) id = s.length + 1
+        else id += 1
       }
-      (sb.toString, fonts.getWidth(s))
+      if (id == s.length) (s, fonts.getWidth(s))
+      else {
+        val sb = new java.lang.StringBuilder(s.length)
+        var i = 0
+        while (i < s.length) {
+          val v = table(s.charAt(i) & 0xff)
+          if (v != null) sb.append(v)
+          i += 1
+        }
+        (sb.toString, fonts.getWidth(s))
+      }
     case Encodings.OTHER => (Encodings.toUtf8ByteString(s, charset.get), fonts.getWidth(s))
     case e => err(s"get_string: wrong encode value: $e")
   }

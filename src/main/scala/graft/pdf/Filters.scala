@@ -66,36 +66,36 @@ object Filters {
   }
 
   // per-thread reused decoder state (north star: "mapPartitions with reused
-  // decoder buffers") — one Inflater + scratch block per executor thread,
-  // reset between streams instead of reallocated per stream
+  // decoder buffers") — one Inflater per executor thread, reset between
+  // streams instead of reallocated per stream
   private val tlInflater = ThreadLocal.withInitial[Inflater](() => new Inflater())
-  private val tlBuf = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](4096))
 
-  /** flate_decode.cc:43-55 — inflates straight into the byte-string builder
-    * (one copy, no intermediate ByteArrayOutputStream). */
+  /** flate_decode.cc:43-55 — inflates straight into one growable byte
+    * array, converted to the byte-string with a single latin-1 copy (no
+    * per-byte appends, no intermediate stream). */
   def flateDecode(data: String, opts: Dict): String = {
     val in = toBytes(data)
     val inf = tlInflater.get()
     inf.reset()
     inf.setInput(in)
-    val sb = new java.lang.StringBuilder(math.max(64, in.length * 3))
-    val buf = tlBuf.get()
+    var out = new Array[Byte](math.max(256, in.length * 4))
+    var len = 0
     try {
       var progressed = true
       while (!inf.finished() && progressed) {
-        val n = inf.inflate(buf)
-        var k = 0
-        while (k < n) { sb.append((buf(k) & 0xff).toChar); k += 1 }
+        if (len == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+        val n = inf.inflate(out, len, out.length - len)
+        len += n
         // all input was provided up-front; no progress and input exhausted
         // means a truncated stream — the reference returns the partial data
         // when inflate leaves avail_out > 0
         progressed = n > 0 || (!inf.needsInput() && !inf.needsDictionary())
       }
-      if (sb.length == 0 && !inf.finished()) err("flate_decode: inflate error")
+      if (len == 0 && !inf.finished()) err("flate_decode: inflate error")
     } catch {
       case _: DataFormatException => err("flate_decode: inflate error")
     } finally inf.reset() // keep the thread-local instance alive for reuse
-    val result = sb.toString
+    val result = new String(out, 0, len, java.nio.charset.StandardCharsets.ISO_8859_1)
     if (opts.isEmpty) result else predictorDecode(result, opts)
   }
 

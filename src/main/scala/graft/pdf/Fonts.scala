@@ -223,8 +223,14 @@ final class Fonts(storage: ObjectStorage, fontsDict: Dict) {
   private var curDefault: Float = 0f
   private var curHScale: Float = 0.001f
   private var curVScale: Float = 0.001f
+  // direct-mapped width memo for single-byte codes (CID codes >255 skip it);
+  // generation counter invalidates on every font switch without clearing
+  private val wMemo = new Array[Float](256)
+  private val wMemoGen = new Array[Int](256)
+  private var memoGen = 0
 
   private def refreshCurrent(): Unit = {
+    memoGen += 1
     if (currentFont.nonEmpty && widths.contains(currentFont)) {
       val (c, w) = widths(currentFont)
       curCodes = c
@@ -252,10 +258,15 @@ final class Fonts(storage: ObjectStorage, fontsDict: Dict) {
       widths(currentFont)
       err(s"get_width: no widths for $currentFont")
     }
-    if (curCodes.isEmpty) return curDefault * curHScale
-    val i = java.util.Arrays.binarySearch(curCodes, code)
-    if (i < 0) curDefault * curHScale
-    else curWidths(i) * curHScale
+    if (code >= 0 && code < 256 && wMemoGen(code) == memoGen) return wMemo(code)
+    val w =
+      if (curCodes.isEmpty) curDefault * curHScale
+      else {
+        val i = java.util.Arrays.binarySearch(curCodes, code)
+        if (i < 0) curDefault * curHScale else curWidths(i) * curHScale
+      }
+    if (code >= 0 && code < 256) { wMemo(code) = w; wMemoGen(code) = memoGen }
+    w
   }
 
   /** fonts.cc:64-69 — per-byte width sum. */

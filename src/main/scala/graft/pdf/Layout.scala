@@ -87,10 +87,13 @@ object Layout {
     }
   }
 
-  /** pages_extractor.cc:259-267 */
+  /** pages_extractor.cc:259-267. Texts are MOVED, not copied: every chunk
+    * is consumed exactly once by traverseSymbols (either folded into a line
+    * or emitted as its own line), and chunk texts are never mutated after
+    * the fold — mergeChars replaces them with a fresh joined Text. */
   private def add2line(line: TextChunk, obj: TextChunk): Unit = {
     line.stringLen += obj.stringLen
-    obj.texts.foreach(t => line.texts += t.copyOf)
+    line.texts ++= obj.texts
     if (obj.coordinates.x0 < line.coordinates.x0) line.coordinates.x0 = obj.coordinates.x0
     if (obj.coordinates.x1 > line.coordinates.x1) line.coordinates.x1 = obj.coordinates.x1
     if (obj.coordinates.y0 < line.coordinates.y0) line.coordinates.y0 = obj.coordinates.y0
@@ -99,27 +102,36 @@ object Layout {
 
   /** pages_extractor.cc:269-305 — sequential line builder over emission order. */
   private def traverseSymbols(chunks: ArrayBuffer[TextChunk]): ArrayBuffer[TextChunk] = {
+    // move semantics throughout: `chunks` is a render-once buffer (each
+    // result group is rendered exactly once, PagesExtractor.getText), so
+    // adopting a chunk as the line seed / emitting it directly is safe —
+    // the C++ value-semantics copies would only protect a reuse that never
+    // happens. Chunk coords and text coords are separate objects
+    // (TextChunk.of), so mutating line bounds can't corrupt glyph boxes.
     val result = ArrayBuffer.empty[TextChunk]
     var line = new TextChunk
     var obj0: TextChunk = null
-    chunks.foreach { obj1 =>
+    var ci = 0
+    while (ci < chunks.length) {
+      val obj1 = chunks(ci)
       if (obj0 != null) {
         val isCmp = isHAlign(obj0, obj1)
         if (isCmp && !line.isEmpty) add2line(line, obj1)
         else if (!line.isEmpty) {
           result += line
-          line = new TextChunk // push copies; fresh empty line
+          line = new TextChunk // push moves; fresh empty line
         } else if (isCmp) {
-          line = obj0.copyOf
+          line = obj0
           line.isEmpty = false
           add2line(line, obj1)
         } else {
-          result += obj0.copyOf
+          result += obj0
         }
       }
       obj0 = obj1
+      ci += 1
     }
-    if (line.isEmpty && obj0 != null) result += obj0.copyOf
+    if (line.isEmpty && obj0 != null) result += obj0
     if (!line.isEmpty) result += line
     result
   }
@@ -194,9 +206,12 @@ object Layout {
     }
     if (sorted.isEmpty) return new TextChunk
     val result = TextChunk.of(sorted(0).texts(0).text + "\n", sorted(0).coordinates.copyOf)
+    // accumulate the joined text once (the previous += per line copied the
+    // whole growing string per iteration — O(lines²) bytes per box)
+    val sb = new java.lang.StringBuilder(result.texts(0).text)
     var i = 1
     while (i < sorted.size) {
-      result.texts(0).text += sorted(i).texts(0).text + "\n"
+      sb.append(sorted(i).texts(0).text).append('\n')
       if (sorted(i).coordinates.x0 < result.coordinates.x0) result.coordinates.x0 = sorted(i).coordinates.x0
       if (sorted(i).coordinates.x1 > result.coordinates.x1) result.coordinates.x1 = sorted(i).coordinates.x1
       if (sorted(i).coordinates.y0 < result.coordinates.y0) result.coordinates.y0 = sorted(i).coordinates.y0
@@ -204,6 +219,7 @@ object Layout {
       result.stringLen += sorted(i).stringLen
       i += 1
     }
+    if (sorted.size > 1) result.texts(0).text = sb.toString
     result.texts(0).coordinates = result.coordinates.copyOf
     result
   }
@@ -335,12 +351,18 @@ object Layout {
     result
   }
 
+  // per-thread reused worklist: makePlane is called once per chunk group
+  // and allocated ~n² slots each time; the arrays persist per executor
+  // thread and only ever grow (makePlane is not reentrant)
+  private val tlDists = ThreadLocal.withInitial[DistList](() => new DistList(4096))
+
   /** pages_extractor.cc:414-452 — greedy agglomerative clustering, capped. */
   private def makePlane(boxes: ArrayBuffer[TextChunk]): TextChunk = {
     if (boxes.isEmpty) return new TextChunk
     if (boxes.size > MAX_BOXES) return boxesAsIs(boxes)
     val n = boxes.size
-    val dists = new DistList(math.max(16, n * (n - 1)))
+    val dists = tlDists.get()
+    dists.size = 0
     var i = 0
     while (i < n) {
       var j = i + 1

@@ -43,16 +43,41 @@ object Lex {
   @inline private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
 
   // ---- find helpers (C++ find/find_first_of/_not_of with e-variants) ----
+  // The handful of charset constants are memoized as 256-entry membership
+  // tables: the scan inner loop becomes one load instead of an indexOf over
+  // the set per byte (byte-strings only ever hold chars 0..255).
+  private val classCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Boolean]]()
+  private def charClass(set: String): Array[Boolean] = {
+    var t = classCache.get(set)
+    if (t == null) {
+      t = new Array[Boolean](256)
+      var i = 0
+      while (i < set.length) { t(set.charAt(i) & 0xff) = true; i += 1 }
+      classCache.put(set, t)
+    }
+    t
+  }
+
   def findFirstOf(s: String, set: String, from: Int): Int = {
-    var i = math.max(from, 0)
     if (from == NPOS) return NPOS
-    while (i < s.length) { if (set.indexOf(s.charAt(i)) >= 0) return i; i += 1 }
+    val t = charClass(set)
+    var i = math.max(from, 0)
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 256 && t(c)) return i
+      i += 1
+    }
     NPOS
   }
   def findFirstNotOf(s: String, set: String, from: Int): Int = {
-    var i = math.max(from, 0)
     if (from == NPOS) return NPOS
-    while (i < s.length) { if (set.indexOf(s.charAt(i)) < 0) return i; i += 1 }
+    val t = charClass(set)
+    var i = math.max(from, 0)
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 256 || !t(c)) return i
+      i += 1
+    }
     NPOS
   }
   def find(s: String, sub: String, from: Int): Int = {
@@ -152,15 +177,28 @@ object Lex {
     if (neg) -v else v
   }
 
-  /** C's stof: parse leading float, ignore trailing junk; throws if none. */
+  /** C's stof: parse leading float, ignore trailing junk; throws if none.
+    * Integer fast path (<=7 digits => exact float, no FloatingDecimal
+    * allocation — PDF operands are overwhelmingly small integers);
+    * fractions/exponents keep the correctly-rounded parseFloat. */
   def stof(str: String): Float = {
     var i = 0
     while (i < str.length && isBlank(str.charAt(i))) i += 1
     var j = i
-    if (j < str.length && (str.charAt(j) == '+' || str.charAt(j) == '-')) j += 1
+    var neg = false
+    if (j < str.length && (str.charAt(j) == '+' || str.charAt(j) == '-')) {
+      neg = str.charAt(j) == '-'; j += 1
+    }
+    val digStart = j
     var seen = false
-    while (j < str.length && isDigit(str.charAt(j))) { j += 1; seen = true }
+    var intVal = 0
+    while (j < str.length && isDigit(str.charAt(j))) {
+      intVal = intVal * 10 + (str.charAt(j) - '0'); j += 1; seen = true
+    }
+    val intDigits = j - digStart
+    var isInt = true
     if (j < str.length && str.charAt(j) == '.') {
+      isInt = false
       j += 1
       while (j < str.length && isDigit(str.charAt(j))) { j += 1; seen = true }
     }
@@ -169,10 +207,11 @@ object Lex {
       if (k < str.length && (str.charAt(k) == '+' || str.charAt(k) == '-')) k += 1
       var eseen = false
       while (k < str.length && isDigit(str.charAt(k))) { k += 1; eseen = true }
-      if (eseen) j = k
+      if (eseen) { j = k; isInt = false }
     }
     if (!seen) err(s"stof: invalid float '$str'")
-    java.lang.Float.parseFloat(str.substring(i, j))
+    if (isInt && intDigits <= 7) { if (neg) -intVal.toFloat else intVal.toFloat }
+    else java.lang.Float.parseFloat(str.substring(i, j))
   }
 
   // ---- object classification & extraction (common.cc:165-187, 302-499) ----
@@ -528,19 +567,15 @@ object Lex {
     (m(0) * x + m(2) * y + m(4), m(1) * x + m(3) * y + m(5))
 
   // ---- byte-string <-> bytes ----
-  def fromBytes(b: Array[Byte]): String = {
-    val cs = new Array[Char](b.length)
-    var i = 0
-    while (i < b.length) { cs(i) = (b(i) & 0xff).toChar; i += 1 }
-    new String(cs)
-  }
+  // ISO-8859-1 maps bytes 0..255 to chars 0..255 1:1, and on JDK 9+ both
+  // directions hit the compact-string fast path (single arraycopy — the
+  // byte-string String is ALREADY a latin-1 byte[] internally, so the
+  // kernel stores 1 byte per input byte, not 2).
+  def fromBytes(b: Array[Byte]): String =
+    new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
 
-  def toBytes(s: String): Array[Byte] = {
-    val b = new Array[Byte](s.length)
-    var i = 0
-    while (i < s.length) { b(i) = s.charAt(i).toByte; i += 1 }
-    b
-  }
+  def toBytes(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
 
   /** Final conversion of a kernel byte-string (UTF-8 bytes) to a JVM String. */
   def toUtf8(s: String): String = new String(toBytes(s), java.nio.charset.StandardCharsets.UTF_8)

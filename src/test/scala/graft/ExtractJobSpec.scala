@@ -67,6 +67,20 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(secondHalf.nonEmpty)
   }
 
+  test("hybrid skew routing: heavy path shuffles, small path doesn't, same results") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val built = Corpus.build(nDocs = 16, heavyEvery = 4)
+    val media = s.createDataset(built.media).toDF()
+    val refs = media.select("media_ref").distinct()
+    def key(e: Model.Extracted) = (e.media_ref, e.ok, e.text)
+    val small = ExtractJob.extractMedia(media, refs, 4) // all under 4 MB -> narrow
+    val heavy = ExtractJob.extractMedia(media, refs, 4, heavyBytes = 0) // all routed via shuffle
+    assert(!small.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning(size_bucket"))
+    assert(heavy.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(small.collect().map(key).sorted.toSeq == heavy.collect().map(key).sorted.toSeq)
+  }
+
   test("poison documents become error spans, job survives") {
     implicit val s: SparkSession = spark
     import s.implicits._
