@@ -296,6 +296,17 @@ object SparkEntry {
         MediaOps.featurize(media, dim = 16).toDF()
           .select(col("media_ref"), col("kind"), col("n_bytes"), col("width"), col("height"))
       }),
+      // dedup clusters: connected components over the near-dup pair graph
+      "q_dup_clusters" -> ((s: SparkSession, d: String) =>
+        TrainingOps.dupClusters(
+          TrainingOps.minhashLshPairs(t(s, d, "documents")).where(col("est_jaccard") >= 0.5))),
+      "q_sample" -> ((s: SparkSession, d: String) =>
+        TrainingOps.deterministicSample(t(s, d, "documents"), "doc_id", "40000000")
+          .select(col("doc_id"))),
+      "q_vocab_topk" -> ((s: SparkSession, d: String) =>
+        TrainingOps.vocabTopK(t(s, d, "documents"), k = 100)),
+      "q_normalize" -> ((s: SparkSession, d: String) =>
+        TrainingOps.normalize(t(s, d, "documents"))),
       // SQL-UDF surface, driver-gated with an exact VALUES oracle
       "x_sql_udf" -> ((s: SparkSession, _: String) => {
         graft.functions.PdfFunctions.register(s)
@@ -387,6 +398,22 @@ object SparkEntry {
         (shingleCte + s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $jaccardExpr >= 0.5"),
       "q_ngram_jaccard_pairs" ->
         (shingleCte + s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jaccardExpr AS jaccard FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $jaccardExpr >= 0.5"),
+      // transitive closure over the ground-truth pair graph (recursive CTE)
+      "q_dup_clusters" ->
+        (s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ").stripSuffix("\n")},
+            |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $jaccardExpr >= 0.5),
+            |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+            |reach AS (SELECT a AS id, a AS r FROM edges UNION SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a)
+            |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin),
+      "q_sample" ->
+        "SELECT doc_id FROM documents WHERE substr(md5(doc_id::VARCHAR || ':s42'), 1, 8) < '40000000'",
+      "q_vocab_topk" ->
+        ("SELECT term, n FROM (SELECT term, count(*)::BIGINT AS n FROM " +
+          "(SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents) t0 " +
+          "WHERE term <> '' GROUP BY term) t1 ORDER BY n DESC, term LIMIT 100"),
+      "q_normalize" ->
+        ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), " +
+          "' +', ' ', 'g')) AS norm_text FROM documents"),
       "q_knn_brute" -> knnBruteOracle,
       "q_knn_lsh" -> knnLshOracle,
       "q_knn_ivf" -> knnIvfOracle,

@@ -346,6 +346,64 @@ object TrainingOps {
       .where(col("cos") >= threshold)
   }
 
+  /** Connected components over near-duplicate pairs → dedup clusters
+    * (pick-one-per-cluster is the standard final step of a dedup
+    * pipeline). Iterative min-label propagation: every node adopts the
+    * smallest label among itself and its neighbours until fixpoint —
+    * O(component diameter) rounds, each one shuffle on the edge list.
+    * Near-dup components are tiny and shallow in practice, so this
+    * converges in a handful of rounds even at corpus scale (vs a
+    * driver-side union-find, which would not distribute at all). */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(col("a")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("a"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .where(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Deterministic content-addressed sampling: keep a row iff the hex MD5
+    * prefix of (key ∥ salt) falls under the rate threshold. Reproducible
+    * across engines and runs, stable under repartitioning — the property
+    * a training-data pipeline needs from a sample (rerunning a stage must
+    * not resample). `rateHex` is an 8-hex-digit threshold: "40000000" =
+    * 25%, "19999999" = 10%. */
+  def deterministicSample(docs: DataFrame, keyCol: String, rateHex: String,
+                          salt: String = "s42"): DataFrame =
+    docs.where(substring(md5(concat(col(keyCol).cast("string"), lit(":" + salt)).cast("binary")), 1, 8)
+      < lit(rateHex))
+
+  /** Vocabulary top-k: term frequencies over whitespace tokens. Classic
+    * map-side-combined aggregation; ties broken by term for determinism. */
+  def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(explode(split(lower(col("text")), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+
+  /** Text normalization for dedup/training: lowercase, strip everything
+    * outside [a-z0-9 ], collapse whitespace runs, trim. Pure codegen'd
+    * expressions. */
+  def normalize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        .as("norm_text"))
+
   // ---------- text analysis ----------
 
   /** Whitespace token count, pure expressions (matches the ANSI oracle). */

@@ -99,10 +99,32 @@ object Crypt {
     }
   }
 
+  // The document key derivation is 50 MD5 rounds for R3/R4 and a pure
+  // function of the encrypt dict, which is one Dict instance per document
+  // — memoize the last (key, algorithm) per thread instead of re-deriving
+  // per decrypted object (the reference re-derives each time,
+  // decrypt.cc:248; values are identical, only the work is saved).
+  private final class DocKeyMemo {
+    var opts: AnyRef = null
+    var key: Array[Byte] = null
+    var alg: Int = 0
+  }
+  private val tlMemo = ThreadLocal.withInitial[DocKeyMemo](() => new DocKeyMemo)
+
+  private def docKeyAndAlg(opts: Dict): (Array[Byte], Int) = {
+    val m = tlMemo.get()
+    if (m.opts ne opts) {
+      m.key = getDecryptionKey(opts)
+      m.alg = getAlgorithm(opts)
+      m.opts = opts
+    }
+    (m.key, m.alg)
+  }
+
   /** decrypt.cc:241-271 — per-object key: docKey ∥ objnum ∥ gen (+`sAlT`). */
   private def createObjKey(n: Long, g: Long, opts: Dict): (Array[Byte], Int) = {
-    val dk = getDecryptionKey(opts)
-    val isAes = getAlgorithm(opts) == ALG_AESV2
+    val (dk, alg) = docKeyAndAlg(opts)
+    val isAes = alg == ALG_AESV2
     val nkey = new Array[Byte](dk.length + 5 + (if (isAes) 4 else 0))
     System.arraycopy(dk, 0, nkey, 0, dk.length)
     nkey(dk.length) = (n & 0xff).toByte
@@ -143,7 +165,7 @@ object Crypt {
   /** decrypt.cc:346-364 */
   def decrypt(n: Long, g: Long, in: String, opts: Dict): String = {
     if (opts.isEmpty) return in
-    getAlgorithm(opts) match {
+    docKeyAndAlg(opts)._2 match {
       case ALG_RC4V1 | ALG_RC4V2 => decryptRc4(n, g, in, opts)
       case ALG_AESV2 => decryptAesV2(n, g, in, opts)
       case ALG_IDENTITY => in
