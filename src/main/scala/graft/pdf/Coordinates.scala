@@ -10,9 +10,18 @@ final class Coords(var x0: Float, var y0: Float, var x1: Float, var y1: Float) {
   def sameAs(o: Coords): Boolean = x0 == o.x0 && y0 == o.y0 && x1 == o.x1 && y1 == o.y1
 }
 
-/** Positioned text atom (coordinates.h:34-58). */
-final class Text(var coordinates: Coords, var text: String) {
-  def copyOf: Text = new Text(coordinates.copyOf, text)
+/** Positioned text atom (coordinates.h:34-58). The UTF-8 length is
+  * memoized (word-gap checks re-derive it per neighbour otherwise) and
+  * invalidated through the text setter. */
+final class Text(var coordinates: Coords, private var _text: String) {
+  private var _utf8Len: Int = -1
+  def text: String = _text
+  def text_=(v: String): Unit = { _text = v; _utf8Len = -1 }
+  def utf8Len: Int = {
+    if (_utf8Len < 0) _utf8Len = Lex.utf8Length(_text)
+    _utf8Len
+  }
+  def copyOf: Text = new Text(coordinates.copyOf, _text)
 }
 
 /** The unit flowing through layout reassembly (coordinates.h:60-112). */
@@ -47,8 +56,9 @@ object TextChunk {
   def of(text: String, coords: Coords): TextChunk = {
     val c = new TextChunk
     c.coordinates = coords
-    c.texts = mutable.ArrayBuffer(new Text(coords.copyOf, text))
-    c.stringLen = utf8Length(text)
+    val t = new Text(coords.copyOf, text)
+    c.texts = mutable.ArrayBuffer(t)
+    c.stringLen = t.utf8Len
     c.isEmpty = false
     c
   }
@@ -81,10 +91,7 @@ final class Coordinates(ctm0: Array[Float]) {
 
   def setDefault(): Unit = { tm = identityMatrix; x = 0f; y = 0f }
 
-  private def popF(st: mutable.ArrayBuffer[(Int, String)]): Float = {
-    if (st.isEmpty) err("pop: stack is empty")
-    stof(st.remove(st.size - 1)._2)
-  }
+  // operand pops go through OpStack (slice-parsed floats, no substrings)
 
   /** coordinates.cc:67-92 — glyph-box computation; drops chunks whose
     * baseline moved vertically (vertical text). */
@@ -114,45 +121,45 @@ final class Coordinates(ctm0: Array[Float]) {
     TextChunk.of(s, new Coords(x0, y0, x1, y1))
   }
 
-  def doCm(st: mutable.ArrayBuffer[(Int, String)]): Unit = {
+  def doCm(st: OpStack): Unit = {
     try {
-      val f = popF(st); val e = popF(st); val d = popF(st)
-      val c = popF(st); val b = popF(st); val a = popF(st)
+      val f = st.popF(); val e = st.popF(); val d = st.popF()
+      val c = st.popF(); val b = st.popF(); val a = st.popF()
       ctm = matMul(Array(a, b, c, d, e, f), ctm)
     } catch { case _: Throwable => } // errors swallowed (coordinates.cc:94-103)
   }
 
-  def doQ(st: mutable.ArrayBuffer[(Int, String)]): Unit = ctms.push(ctm)
-  def doQPop(st: mutable.ArrayBuffer[(Int, String)]): Unit = if (ctms.nonEmpty) ctm = ctms.pop()
+  def doQ(st: OpStack): Unit = ctms.push(ctm)
+  def doQPop(st: OpStack): Unit = if (ctms.nonEmpty) ctm = ctms.pop()
 
-  def setTz(st: mutable.ArrayBuffer[(Int, String)]): Unit = th = popF(st) / 100f
-  def setTL(st: mutable.ArrayBuffer[(Int, String)]): Unit = tl = popF(st)
-  def setTc(st: mutable.ArrayBuffer[(Int, String)]): Unit = tc = popF(st)
-  def setTw(st: mutable.ArrayBuffer[(Int, String)]): Unit = tw = popF(st)
+  def setTz(st: OpStack): Unit = th = st.popF() / 100f
+  def setTL(st: OpStack): Unit = tl = st.popF()
+  def setTc(st: OpStack): Unit = tc = st.popF()
+  def setTw(st: OpStack): Unit = tw = st.popF()
 
-  def setTd(st: mutable.ArrayBuffer[(Int, String)]): Unit = {
-    val ya = popF(st); val xa = popF(st); td(xa, ya)
+  def setTd(st: OpStack): Unit = {
+    val ya = st.popF(); val xa = st.popF(); td(xa, ya)
   }
 
-  def setTD(st: mutable.ArrayBuffer[(Int, String)]): Unit = {
-    val ya = popF(st); val xa = popF(st); td(xa, ya); tl = -ya
+  def setTD(st: OpStack): Unit = {
+    val ya = st.popF(); val xa = st.popF(); td(xa, ya); tl = -ya
   }
 
-  def setTm(st: mutable.ArrayBuffer[(Int, String)]): Unit = {
-    val f = popF(st); val e = popF(st); val d = popF(st)
-    val c = popF(st); val b = popF(st); val a = popF(st)
+  def setTm(st: OpStack): Unit = {
+    val f = st.popF(); val e = st.popF(); val d = st.popF()
+    val c = st.popF(); val b = st.popF(); val a = st.popF()
     tm = Array(a, b, c, d, e, f)
     x = 0f
     y = 0f
   }
 
-  def setTStar(st: mutable.ArrayBuffer[(Int, String)]): Unit = td(0f, -tl)
-  def setTf(st: mutable.ArrayBuffer[(Int, String)]): Unit = tfs = popF(st)
-  def setQuote(st: mutable.ArrayBuffer[(Int, String)]): Unit = setTStar(st)
+  def setTStar(st: OpStack): Unit = td(0f, -tl)
+  def setTf(st: OpStack): Unit = tfs = st.popF()
+  def setQuote(st: OpStack): Unit = setTStar(st)
 
-  def setDoubleQuote(st: mutable.ArrayBuffer[(Int, String)]): Unit = {
-    tc = popF(st)
-    tw = popF(st)
+  def setDoubleQuote(st: OpStack): Unit = {
+    tc = st.popF()
+    tw = st.popF()
     setQuote(st)
   }
 }

@@ -17,7 +17,7 @@ object Layout {
   @inline private def widthC(c: Coords): Float = c.x1 - c.x0
   @inline private def widthChunk(o: TextChunk): Float = (o.coordinates.x1 - o.coordinates.x0) / o.stringLen
   @inline private def widthText(t: Text): Float =
-    (t.coordinates.x1 - t.coordinates.x0) / Lex.utf8Length(t.text)
+    (t.coordinates.x1 - t.coordinates.x0) / t.utf8Len
 
   private def isZeroString(line: TextChunk): Boolean =
     widthC(line.coordinates) <= 0 || height(line.coordinates) <= 0
@@ -289,35 +289,45 @@ object Layout {
 
   /** dist_t worklist as parallel primitive arrays (the reference's
     * vector<dist_t> erase/push_back order semantics are preserved: removal
-    * compacts in order, new pairs append at the end). */
+    * compacts in order, new pairs append at the end). The (c, d) sort key
+    * is packed into ONE long — c in bit 32, the float's order-preserving
+    * bit image in the low 32 — so minIndex is a single long compare per
+    * element. getDist never produces -0.0 (a-a = +0.0 in IEEE), so the
+    * bit image ordering equals float ordering; ties keep first-index
+    * min_element semantics because equal (c, d) give equal keys. */
   private final class DistList(capacity: Int) {
-    var c: Array[Byte] = new Array[Byte](capacity)
-    var d: Array[Float] = new Array[Float](capacity)
+    var key: Array[Long] = new Array[Long](capacity)
     var o1: Array[Int] = new Array[Int](capacity)
     var o2: Array[Int] = new Array[Int](capacity)
     var size: Int = 0
 
+    @inline private def sortableBits(dv: Float): Long = {
+      val bits = java.lang.Float.floatToRawIntBits(dv)
+      (bits ^ (if (bits < 0) 0xFFFFFFFF else 0x80000000)).toLong & 0xFFFFFFFFL
+    }
+
     def add(dv: Float, a: Int, b: Int): Unit = {
-      if (size == c.length) {
-        val n = c.length * 2
-        c = java.util.Arrays.copyOf(c, n)
-        d = java.util.Arrays.copyOf(d, n)
+      if (size == key.length) {
+        val n = key.length * 2
+        key = java.util.Arrays.copyOf(key, n)
         o1 = java.util.Arrays.copyOf(o1, n)
         o2 = java.util.Arrays.copyOf(o2, n)
       }
-      c(size) = 0
-      d(size) = dv
+      key(size) = sortableBits(dv)
       o1(size) = a
       o2(size) = b
       size += 1
     }
+
+    def cIsZero(k: Int): Boolean = (key(k) >>> 32) == 0L
+    def deprioritize(k: Int): Unit = key(k) |= (1L << 32)
 
     /** first index with minimal (c, d) — min_element semantics. */
     def minIndex: Int = {
       var m = 0
       var k = 1
       while (k < size) {
-        if (c(k) < c(m) || (c(k) == c(m) && d(k) < d(m))) m = k
+        if (key(k) < key(m)) m = k
         k += 1
       }
       m
@@ -329,7 +339,7 @@ object Layout {
       var k = 0
       while (k < size) {
         if (!(o1(k) == a || o1(k) == b || o2(k) == a || o2(k) == b)) {
-          if (w != k) { c(w) = c(k); d(w) = d(k); o1(w) = o1(k); o2(w) = o2(k) }
+          if (w != k) { key(w) = key(k); o1(w) = o1(k); o2(w) = o2(k) }
           w += 1
         }
         k += 1
@@ -374,8 +384,8 @@ object Layout {
     }
     while (dists.size > 0) {
       val m = dists.minIndex
-      if (dists.c(m) == 0 && isBetween(boxes, dists.o1(m), dists.o2(m))) {
-        dists.c(m) = 1
+      if (dists.cIsZero(m) && isBetween(boxes, dists.o1(m), dists.o2(m))) {
+        dists.deprioritize(m)
       } else {
         val d1 = dists.o1(m)
         val d2 = dists.o2(m)

@@ -181,35 +181,38 @@ object Lex {
     * Integer fast path (<=7 digits => exact float, no FloatingDecimal
     * allocation — PDF operands are overwhelmingly small integers);
     * fractions/exponents keep the correctly-rounded parseFloat. */
-  def stof(str: String): Float = {
-    var i = 0
-    while (i < str.length && isBlank(str.charAt(i))) i += 1
+  def stof(str: String): Float = stofSlice(str, 0, str.length)
+
+  /** stof over a slice [from, to) — no substring on the integer path. */
+  def stofSlice(str: String, from: Int, to: Int): Float = {
+    var i = from
+    while (i < to && isBlank(str.charAt(i))) i += 1
     var j = i
     var neg = false
-    if (j < str.length && (str.charAt(j) == '+' || str.charAt(j) == '-')) {
+    if (j < to && (str.charAt(j) == '+' || str.charAt(j) == '-')) {
       neg = str.charAt(j) == '-'; j += 1
     }
     val digStart = j
     var seen = false
     var intVal = 0
-    while (j < str.length && isDigit(str.charAt(j))) {
+    while (j < to && isDigit(str.charAt(j))) {
       intVal = intVal * 10 + (str.charAt(j) - '0'); j += 1; seen = true
     }
     val intDigits = j - digStart
     var isInt = true
-    if (j < str.length && str.charAt(j) == '.') {
+    if (j < to && str.charAt(j) == '.') {
       isInt = false
       j += 1
-      while (j < str.length && isDigit(str.charAt(j))) { j += 1; seen = true }
+      while (j < to && isDigit(str.charAt(j))) { j += 1; seen = true }
     }
-    if (seen && j < str.length && (str.charAt(j) == 'e' || str.charAt(j) == 'E')) {
+    if (seen && j < to && (str.charAt(j) == 'e' || str.charAt(j) == 'E')) {
       var k = j + 1
-      if (k < str.length && (str.charAt(k) == '+' || str.charAt(k) == '-')) k += 1
+      if (k < to && (str.charAt(k) == '+' || str.charAt(k) == '-')) k += 1
       var eseen = false
-      while (k < str.length && isDigit(str.charAt(k))) { k += 1; eseen = true }
+      while (k < to && isDigit(str.charAt(k))) { k += 1; eseen = true }
       if (eseen) { j = k; isInt = false }
     }
-    if (!seen) err(s"stof: invalid float '$str'")
+    if (!seen) err(s"stof: invalid float '${str.substring(from, to)}'")
     if (isInt && intDigits <= 7) { if (neg) -intVal.toFloat else intVal.toFloat }
     else java.lang.Float.parseFloat(str.substring(i, j))
   }
@@ -251,8 +254,9 @@ object Lex {
     }
   }
 
-  /** common.cc:322-358 — balanced `<< >>`, string-aware. */
-  def getDictionary(s: String, pos: Pos): String = {
+  /** common.cc:322-358 — balanced `<< >>`, string-aware. Scan-only form:
+    * advances pos past the dictionary without materializing it. */
+  def scanDictionary(s: String, pos: Pos): Unit = {
     var prevs = 0
     var end = pos.i + 2
     while (end < s.length) {
@@ -260,20 +264,24 @@ object Lex {
       val cNext = if (end + 1 < s.length) s.charAt(end + 1) else { err("get_dictionary: can`t find dictionary end delimiter") }
       if (c == '<' && cNext == '<') { prevs += 1; end += 2 }
       else if (c == '(' || c == '<') {
-        val p = new Pos(end); getString(s, p); end = p.i
+        val p = new Pos(end); scanString(s, p); end = p.i
       }
       else if (c == '>' && cNext == '>') {
         if (prevs == 0) {
-          end += 2
-          val start = pos.i
-          pos.i = end
-          return s.substring(start, end)
+          pos.i = end + 2
+          return
         }
         prevs -= 1; end += 2
       }
       else end += 1
     }
     err("get_dictionary: can`t find dictionary end delimiter")
+  }
+
+  def getDictionary(s: String, pos: Pos): String = {
+    val start = pos.i
+    scanDictionary(s, pos)
+    s.substring(start, pos.i)
   }
 
   /** common.cc:360-366 */
@@ -301,13 +309,12 @@ object Lex {
     s.substring(start, pos.i)
   }
 
-  /** common.cc:384-419 — raw `(..)` / `<..>` string incl. delimiters. */
-  def getString(s: String, pos: Pos): String = {
+  /** common.cc:384-419 — scan past a raw `(..)` / `<..>` string. */
+  def scanString(s: String, pos: Pos): Unit = {
     val delim = s.charAt(pos.i)
     if (delim != '(' && delim != '<') err("get_string: string must start with '(' or '<'")
     val endDelim = if (delim == '(') ')' else '>'
     var prevs = 0
-    val init = pos.i
     var escaped = false
     pos.i += 1
     while (true) {
@@ -317,10 +324,7 @@ object Lex {
       else if (escaped) { escaped = false; pos.i += 1 }
       else if (c == delim) { prevs += 1; pos.i += 1 }
       else if (c == endDelim) {
-        if (prevs == 0) {
-          pos.i += 1
-          return s.substring(init, pos.i)
-        }
+        if (prevs == 0) { pos.i += 1; return }
         prevs -= 1; pos.i += 1
       }
       else pos.i += 1
@@ -328,31 +332,45 @@ object Lex {
     err("unreachable")
   }
 
-  /** common.cc:427-464 — raw `[..]` incl. delimiters, string/dict-aware. */
-  def getArray(s: String, pos: Pos): String = {
-    val sb = new java.lang.StringBuilder("[")
+  /** raw `(..)` / `<..>` string incl. delimiters. */
+  def getString(s: String, pos: Pos): String = {
+    val init = pos.i
+    scanString(s, pos)
+    s.substring(init, pos.i)
+  }
+
+  /** common.cc:427-464 — scan past a raw `[..]`, string/dict-aware.
+    * (The extracted array is always a contiguous slice of the input: the
+    * reference's char-by-char rebuild appends every consumed byte.) */
+  def scanArray(s: String, pos: Pos): Unit = {
     pos.i += 1
     var prevs = 0
     while (true) {
       if (pos.i >= s.length) err(s"get_array: no array in ${pos.i}")
       s.charAt(pos.i) match {
         case '(' =>
-          sb.append(getString(s, pos))
+          scanString(s, pos)
         case '<' =>
           if (pos.i + 1 >= s.length) err("get_array: out of range")
-          if (s.charAt(pos.i + 1) == '<') sb.append(getDictionary(s, pos))
-          else sb.append(getString(s, pos))
+          if (s.charAt(pos.i + 1) == '<') scanDictionary(s, pos)
+          else scanString(s, pos)
         case '[' =>
-          sb.append('['); prevs += 1; pos.i += 1
+          prevs += 1; pos.i += 1
         case ']' =>
-          sb.append(']')
-          if (prevs == 0) { pos.i += 1; return sb.toString }
+          if (prevs == 0) { pos.i += 1; return }
           prevs -= 1; pos.i += 1
-        case c =>
-          sb.append(c); pos.i += 1
+        case _ =>
+          pos.i += 1
       }
     }
     err("unreachable")
+  }
+
+  /** raw `[..]` incl. delimiters. */
+  def getArray(s: String, pos: Pos): String = {
+    val start = pos.i
+    scanArray(s, pos)
+    s.substring(start, pos.i)
   }
 
   /** TYPE2FUNC dispatch (common.cc:196-201). */
@@ -579,4 +597,47 @@ object Lex {
 
   /** Final conversion of a kernel byte-string (UTF-8 bytes) to a JVM String. */
   def toUtf8(s: String): String = new String(toBytes(s), java.nio.charset.StandardCharsets.UTF_8)
+}
+
+/** Content-interpreter operand stack: (kind, slice) entries over the page
+  * content buffer. Every extract function returns a CONTIGUOUS slice of
+  * its input, so operands live as (start, end) index pairs and only
+  * materialize a substring when a consumer needs the payload (shows,
+  * names); numeric operands parse in place via stofSlice. */
+final class OpStack(val buffer: String) {
+  private var kinds = new Array[Int](64)
+  private var starts = new Array[Int](64)
+  private var ends = new Array[Int](64)
+  private var n = 0
+
+  def size: Int = n
+  def isEmpty: Boolean = n == 0
+
+  def push(kind: Int, start: Int, end: Int): Unit = {
+    if (n == kinds.length) {
+      kinds = java.util.Arrays.copyOf(kinds, n * 2)
+      starts = java.util.Arrays.copyOf(starts, n * 2)
+      ends = java.util.Arrays.copyOf(ends, n * 2)
+    }
+    kinds(n) = kind
+    starts(n) = start
+    ends(n) = end
+    n += 1
+  }
+
+  @inline private def checkNonEmpty(): Unit = if (n == 0) Lex.err("pop: stack is empty")
+
+  /** pop as (kind, raw substring) — payload consumers. */
+  def popStr(): (Int, String) = {
+    checkNonEmpty()
+    n -= 1
+    (kinds(n), buffer.substring(starts(n), ends(n)))
+  }
+
+  /** pop parsed as float, no substring on the integer path. */
+  def popF(): Float = {
+    checkNonEmpty()
+    n -= 1
+    Lex.stofSlice(buffer, starts(n), ends(n))
+  }
 }

@@ -282,28 +282,24 @@ final class PagesExtractor(
   private final class Arg(
       val result: mutable.ArrayBuffer[mutable.ArrayBuffer[TextChunk]],
       var encoding: ConverterEngine,
-      val st: mutable.ArrayBuffer[(Int, String)],
+      val st: OpStack,
       val coordinates: Coordinates,
       val resourceId: String,
       var in: Boolean,
       val content: String,
       var xobjectNested: Int)
 
-  private def pop(st: mutable.ArrayBuffer[(Int, String)]): (Int, String) = {
-    if (st.isEmpty) err("pop: stack is empty")
-    st.remove(st.size - 1)
-  }
-
-  /** pages_extractor.cc:511-528 */
-  private def put2stack(st: mutable.ArrayBuffer[(Int, String)], buffer: String, pos: Pos): Boolean = {
+  /** pages_extractor.cc:511-528 — operands push as slices, no substring. */
+  private def put2stack(st: OpStack, buffer: String, pos: Pos): Boolean = {
+    val start = pos.i
     buffer.charAt(pos.i) match {
-      case '(' => st += ((Kind.STRING, getString(buffer, pos))); true
+      case '(' => scanString(buffer, pos); st.push(Kind.STRING, start, pos.i); true
       case '<' =>
         if (pos.i + 1 >= buffer.length) err("put2stack: out of range")
-        if (buffer.charAt(pos.i + 1) == '<') st += ((Kind.DICTIONARY, getDictionary(buffer, pos)))
-        else st += ((Kind.STRING, getString(buffer, pos)))
+        if (buffer.charAt(pos.i + 1) == '<') { scanDictionary(buffer, pos); st.push(Kind.DICTIONARY, start, pos.i) }
+        else { scanString(buffer, pos); st.push(Kind.STRING, start, pos.i) }
         true
-      case '[' => st += ((Kind.ARRAY, getArray(buffer, pos))); true
+      case '[' => scanArray(buffer, pos); st.push(Kind.ARRAY, start, pos.i); true
       case _ => false
     }
   }
@@ -322,24 +318,24 @@ final class PagesExtractor(
 
   private def doTf(arg: Arg): Unit = {
     arg.coordinates.setTf(arg.st)
-    val font = pop(arg.st)._2
+    val font = arg.st.popStr()._2
     fonts(arg.resourceId).setCurrentFont(font)
     arg.encoding = getFontEncoding(font, arg.resourceId)
   }
 
   private def doTj(arg: Arg): Unit = {
     if (!arg.in || arg.encoding == null || arg.encoding.isVertical) return
-    val chunk = arg.encoding.getString(decodeString(pop(arg.st)._2), arg.coordinates, 0f, fonts(arg.resourceId))
+    val chunk = arg.encoding.getString(decodeString(arg.st.popStr()._2), arg.coordinates, 0f, fonts(arg.resourceId))
     if (!chunk.isEmpty) arg.result(0) += chunk
   }
 
   private def doTJ(arg: Arg): Unit = {
     if (!arg.in || arg.encoding == null || arg.encoding.isVertical) return
-    arg.result(0) ++= arg.encoding.getStringsFromArray(pop(arg.st)._2, arg.coordinates, fonts(arg.resourceId))
+    arg.result(0) ++= arg.encoding.getStringsFromArray(arg.st.popStr()._2, arg.coordinates, fonts(arg.resourceId))
   }
 
   private def doDo(arg: Arg): Unit = {
-    val xObject = pop(arg.st)._2
+    val xObject = arg.st.popStr()._2
     val resourceName = "/" + arg.resourceId + "/" + xObject
     if (!getXObjectData(arg.resourceId, xObject, resourceName)) return
     xObjectStreams.get(resourceName).foreach { stream =>
@@ -353,12 +349,12 @@ final class PagesExtractor(
   private def doQuote(arg: Arg): Unit = {
     if (arg.encoding == null || !arg.in) { return }
     arg.coordinates.setQuote(arg.st)
-    arg.result(0) += arg.encoding.getString(decodeString(pop(arg.st)._2), arg.coordinates, 0f, fonts(arg.resourceId))
+    arg.result(0) += arg.encoding.getString(decodeString(arg.st.popStr()._2), arg.coordinates, 0f, fonts(arg.resourceId))
   }
 
   private def doDoubleQuote(arg: Arg): Unit = {
     if (arg.encoding == null || !arg.in) { return }
-    val str = pop(arg.st)._2
+    val str = arg.st.popStr()._2
     arg.coordinates.setDoubleQuote(arg.st)
     arg.result(0) += arg.encoding.getString(str, arg.coordinates, 0f, fonts(arg.resourceId))
   }
@@ -373,37 +369,52 @@ final class PagesExtractor(
     if (xobjectNested > MAX_XOBJECT_NESTED)
       return mutable.ArrayBuffer.empty
     val coordinates = new Coordinates(ctm.getOrElse(initCTM(rotates(resourceId), mediaBoxes(resourceId))))
-    val st = new mutable.ArrayBuffer[(Int, String)](64)
+    val st = new OpStack(pageContent)
     val result = mutable.ArrayBuffer(new mutable.ArrayBuffer[TextChunk](64))
     val arg = new Arg(result, null, st, coordinates, resourceId, in = false, pageContent, xobjectNested)
     val pos = new Pos(skipComments(pageContent, 0, validate = false))
+    // operator dispatch on raw chars — token text is never materialized;
+    // unknown tokens become operand slices (the reference's handler table)
     while (pos.i != NPOS && pos.i < pageContent.length) {
       if (!(arg.in && put2stack(st, pageContent, pos))) {
-        val token = getToken(pageContent, pos)
-        token match {
-          case "BT" => arg.coordinates.setDefault(); arg.in = true
-          case "ET" => arg.in = false
-          case "Td" => if (arg.in) arg.coordinates.setTd(st)
-          case "TD" => if (arg.in) arg.coordinates.setTD(st)
-          case "Tm" => if (arg.in) arg.coordinates.setTm(st)
-          case "T*" => if (arg.in) arg.coordinates.setTStar(st)
-          case "TL" => if (arg.in) arg.coordinates.setTL(st)
-          case "Tc" => if (arg.in) arg.coordinates.setTc(st)
-          case "Tw" => if (arg.in) arg.coordinates.setTw(st)
-          case "Tz" => if (arg.in) arg.coordinates.setTz(st)
-          case "Ts" => if (arg.in) fonts(arg.resourceId).setRise(stof(pop(st)._2))
-          case "Tf" => doTf(arg)
-          case "Tj" => doTj(arg)
-          case "TJ" => doTJ(arg)
-          case "'" => doQuote(arg)
-          case "\"" => doDoubleQuote(arg)
-          case "q" => arg.coordinates.doQ(st)
-          case "Q" => arg.coordinates.doQPop(st)
-          case "cm" => arg.coordinates.doCm(st)
-          case "Do" => doDo(arg)
-          case "BI" => doBI(arg, pos)
-          case t => st += ((Kind.VALUE, t))
-        }
+        val tStart = pos.i
+        var tEnd = findFirstOf(pageContent, " \r\n\t/[(<", pos.i + 1)
+        if (tEnd == NPOS) tEnd = pageContent.length
+        pos.i = tEnd
+        val len = tEnd - tStart
+        val c0 = pageContent.charAt(tStart)
+        var handled = true
+        if (len == 1) {
+          c0 match {
+            case '\'' => doQuote(arg)
+            case '"' => doDoubleQuote(arg)
+            case 'q' => arg.coordinates.doQ(st)
+            case 'Q' => arg.coordinates.doQPop(st)
+            case _ => handled = false
+          }
+        } else if (len == 2) {
+          ((c0 << 8) | pageContent.charAt(tStart + 1)) match {
+            case 0x4254 /* BT */ => arg.coordinates.setDefault(); arg.in = true
+            case 0x4554 /* ET */ => arg.in = false
+            case 0x5464 /* Td */ => if (arg.in) arg.coordinates.setTd(st)
+            case 0x5444 /* TD */ => if (arg.in) arg.coordinates.setTD(st)
+            case 0x546d /* Tm */ => if (arg.in) arg.coordinates.setTm(st)
+            case 0x542a /* T* */ => if (arg.in) arg.coordinates.setTStar(st)
+            case 0x544c /* TL */ => if (arg.in) arg.coordinates.setTL(st)
+            case 0x5463 /* Tc */ => if (arg.in) arg.coordinates.setTc(st)
+            case 0x5477 /* Tw */ => if (arg.in) arg.coordinates.setTw(st)
+            case 0x547a /* Tz */ => if (arg.in) arg.coordinates.setTz(st)
+            case 0x5473 /* Ts */ => if (arg.in) fonts(arg.resourceId).setRise(st.popF())
+            case 0x5466 /* Tf */ => doTf(arg)
+            case 0x546a /* Tj */ => doTj(arg)
+            case 0x544a /* TJ */ => doTJ(arg)
+            case 0x636d /* cm */ => arg.coordinates.doCm(st)
+            case 0x446f /* Do */ => doDo(arg)
+            case 0x4249 /* BI */ => doBI(arg, pos)
+            case _ => handled = false
+          }
+        } else handled = false
+        if (!handled) st.push(Kind.VALUE, tStart, tEnd)
       }
       pos.i = skipComments(pageContent, pos.i, validate = false)
     }
