@@ -47,20 +47,24 @@ object Lex {
   // tables: the scan inner loop becomes one load instead of an indexOf over
   // the set per byte (byte-strings only ever hold chars 0..255).
   private val classCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Boolean]]()
+  private def mkClass(set: String): Array[Boolean] = {
+    val t = new Array[Boolean](256)
+    var i = 0
+    while (i < set.length) { t(set.charAt(i) & 0xff) = true; i += 1 }
+    t
+  }
   private def charClass(set: String): Array[Boolean] = {
     var t = classCache.get(set)
-    if (t == null) {
-      t = new Array[Boolean](256)
-      var i = 0
-      while (i < set.length) { t(set.charAt(i) & 0xff) = true; i += 1 }
-      classCache.put(set, t)
-    }
+    if (t == null) { t = mkClass(set); classCache.put(set, t) }
     t
   }
 
-  def findFirstOf(s: String, set: String, from: Int): Int = {
+  // precomputed tables for the two hottest scans (no map probe per call)
+  private[pdf] val CLS_TOKEN_END: Array[Boolean] = mkClass(" \r\n\t/[(<")
+  private[pdf] val CLS_SPACES: Array[Boolean] = mkClass("\r\n \t")
+
+  def findFirstOf(s: String, t: Array[Boolean], from: Int): Int = {
     if (from == NPOS) return NPOS
-    val t = charClass(set)
     var i = math.max(from, 0)
     while (i < s.length) {
       val c = s.charAt(i)
@@ -69,9 +73,8 @@ object Lex {
     }
     NPOS
   }
-  def findFirstNotOf(s: String, set: String, from: Int): Int = {
+  def findFirstNotOf(s: String, t: Array[Boolean], from: Int): Int = {
     if (from == NPOS) return NPOS
-    val t = charClass(set)
     var i = math.max(from, 0)
     while (i < s.length) {
       val c = s.charAt(i)
@@ -80,6 +83,11 @@ object Lex {
     }
     NPOS
   }
+
+  def findFirstOf(s: String, set: String, from: Int): Int =
+    findFirstOf(s, charClass(set), from)
+  def findFirstNotOf(s: String, set: String, from: Int): Int =
+    findFirstNotOf(s, charClass(set), from)
   def find(s: String, sub: String, from: Int): Int = {
     if (from == NPOS || from > s.length) return NPOS
     val r = s.indexOf(sub, from); if (r < 0) NPOS else r
@@ -113,7 +121,7 @@ object Lex {
 
   /** common.cc:272-277 */
   def skipSpaces(s: String, off: Int, validate: Boolean = true): Int = {
-    val r = findFirstNotOf(s, "\r\n \t", off)
+    val r = findFirstNotOf(s, CLS_SPACES, off)
     if (validate && r == NPOS) err("skip_spaces: no data after space")
     r
   }
@@ -136,7 +144,7 @@ object Lex {
   /** common.cc:279-285 — content-stream token. */
   def getToken(s: String, pos: Pos): String = {
     val start = pos.i
-    var i = findFirstOf(s, " \r\n\t/[(<", pos.i + 1)
+    var i = findFirstOf(s, CLS_TOKEN_END, pos.i + 1)
     if (i == NPOS) i = s.length
     pos.i = i
     s.substring(start, i)

@@ -378,7 +378,7 @@ final class PagesExtractor(
     while (pos.i != NPOS && pos.i < pageContent.length) {
       if (!(arg.in && put2stack(st, pageContent, pos))) {
         val tStart = pos.i
-        var tEnd = findFirstOf(pageContent, " \r\n\t/[(<", pos.i + 1)
+        var tEnd = findFirstOf(pageContent, CLS_TOKEN_END, pos.i + 1)
         if (tEnd == NPOS) tEnd = pageContent.length
         pos.i = tEnd
         val len = tEnd - tStart
