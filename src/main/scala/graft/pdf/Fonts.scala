@@ -294,8 +294,13 @@ final class Fonts(storage: ObjectStorage, fontsDict: Dict) {
   }
 
   def setCurrentFont(font: String): Unit = {
-    currentFont = font
-    refreshCurrent()
+    // same-font Tf re-selection is the common case; every table consulted
+    // by refreshCurrent is immutable post-ctor, so skipping the 7 map
+    // probes (and keeping the width memo generation) is semantics-free
+    if (font != currentFont || curCodes == null) {
+      currentFont = font
+      refreshCurrent()
+    }
   }
 
   private def validateCurrentFont(): Unit = {
