@@ -355,11 +355,20 @@ object TrainingOps {
     * converges in a handful of rounds even at corpus scale (vs a
     * driver-side union-find, which would not distribute at all). */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // materialize the edge list once — every iteration joins against it,
+    // and without the persist each round would re-run the whole upstream
+    // candidate pipeline; labels persist per round and truncate lineage
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager local checkpoints per round: lineage stays constant-depth, so
+    // each round re-analyzes/compiles the same tiny plan instead of an
+    // ever-growing one (at cluster scale swap for reliable checkpoints)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -367,12 +376,14 @@ object TrainingOps {
         .groupBy(col("a")).agg(min(col("label")).as("nlabel"))
       val next = labels.join(neighborMin, labels("id") === neighborMin("a"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .where(col("label") =!= col("old")).limit(1).count()
       labels = next
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist(blocking = false)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
