@@ -1,6 +1,7 @@
 package graft.pdf
 
 import org.scalatest.funsuite.AnyFunSuite
+// (mutation fuzz added below the original poison tests)
 import graft.testkit.PdfBuilder
 
 /** Poison-document robustness: random mutations of valid PDFs must either
@@ -27,6 +28,38 @@ class FuzzSpec extends AnyFunSuite {
         try Pdf.pdf2txt(bytes)
         catch { case _: Throwable => }
       }
+    }
+  }
+
+  test("multi-byte mutations, insertions and deletions terminate") {
+    val r = new java.util.Random(43)
+    PdfBuilder.all.foreach { f =>
+      (1 to 10).foreach { _ =>
+        val b = f.bytes.clone()
+        (1 to 1 + r.nextInt(8)).foreach(_ => b(r.nextInt(b.length)) = (r.nextInt(256) - 128).toByte)
+        try Pdf.pdf2txt(b) catch { case _: Throwable => }
+        // deletion of a random window
+        val cut = r.nextInt(b.length - 1)
+        val del = b.take(cut) ++ b.drop(cut + 1 + r.nextInt(math.min(32, b.length - cut - 1)))
+        try Pdf.pdf2txt(del) catch { case _: Throwable => }
+        // insertion of random bytes
+        val ins = b.take(cut) ++ Array.fill(1 + r.nextInt(8))((r.nextInt(256) - 128).toByte) ++ b.drop(cut)
+        try Pdf.pdf2txt(ins) catch { case _: Throwable => }
+      }
+    }
+  }
+
+  test("per-thread reused state never leaks across documents") {
+    // interleave poison + valid docs on one thread: ThreadLocal scratch
+    // (Inflater, layout worklists, crypt memo, width memos) must not
+    // pollute the next document's result
+    val clean = PdfBuilder.all.map(f => f.name -> Pdf.pdf2txt(f.bytes)).toMap
+    val r = new java.util.Random(44)
+    PdfBuilder.all.foreach { f =>
+      val garbage = f.bytes.clone()
+      (1 to 16).foreach(_ => garbage(r.nextInt(garbage.length)) = (r.nextInt(256) - 128).toByte)
+      try Pdf.pdf2txt(garbage) catch { case _: Throwable => }
+      assert(Pdf.pdf2txt(f.bytes) == clean(f.name), s"state leak after mutated ${f.name}")
     }
   }
 
