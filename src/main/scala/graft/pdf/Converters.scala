@@ -237,11 +237,15 @@ final class ConverterEngine(
       val (text, width) =
         if (diffConverter.isEmpty) charsetConverter.getString(s, fonts)
         else diffConverter.getString(s, fonts)
-      return coordinates.adjustCoordinates(text, s.length, width, tj, fonts)
+      // identity fast path returned the input itself -> all-ASCII, so
+      // utf8Length(text) == s.length and the rescan can be skipped
+      val hint = if (text eq s) s.length else -1
+      return coordinates.adjustCoordinates(text, s.length, width, tj, fonts, hint)
     }
     val decoded = new java.lang.StringBuilder(s.length)
     var decodedWidth = 0f
     var len = 0
+    var exactUtf8 = 0 // utf8Length(decoded), accumulated per symbol
     val pos = new Pos(0)
     while (pos.i < s.length) {
       val (sym, w) = toUnicodeConverter.customDecodeSymbol(s, pos, fonts)
@@ -254,15 +258,18 @@ final class ConverterEngine(
           decoded.append(r)
           decodedWidth += fonts.getWidth(c & 0xff)
           len += 1
+          exactUtf8 += utf8Length(r)
         }
         pos.i += 1
       } else {
         decodedWidth += w
-        len += utf8Length(sym)
+        val ul = utf8Length(sym)
+        len += ul
+        exactUtf8 += ul
         decoded.append(sym)
       }
     }
-    coordinates.adjustCoordinates(decoded.toString, len, decodedWidth, tj, fonts)
+    coordinates.adjustCoordinates(decoded.toString, len, decodedWidth, tj, fonts, exactUtf8)
   }
 
   /** converter_engine.cc:67-94 — TJ array with kern numbers. */

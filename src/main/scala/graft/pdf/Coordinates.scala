@@ -21,6 +21,7 @@ final class Text(var coordinates: Coords, private var _text: String) {
     if (_utf8Len < 0) _utf8Len = Lex.utf8Length(_text)
     _utf8Len
   }
+  private[pdf] def seedUtf8Len(n: Int): Unit = _utf8Len = n
   def copyOf: Text = new Text(coordinates.copyOf, _text)
 }
 
@@ -53,10 +54,13 @@ final class TextChunk {
 }
 
 object TextChunk {
-  def of(text: String, coords: Coords): TextChunk = {
+  /** `utf8LenHint` >= 0 skips the length scan when the caller already
+    * knows utf8Length(text) exactly (converters accumulate it). */
+  def of(text: String, coords: Coords, utf8LenHint: Int = -1): TextChunk = {
     val c = new TextChunk
     c.coordinates = coords
     val t = new Text(coords.copyOf, text)
+    if (utf8LenHint >= 0) t.seedUtf8Len(utf8LenHint)
     c.texts = mutable.ArrayBuffer(t)
     c.stringLen = t.utf8Len
     c.isEmpty = false
@@ -95,7 +99,8 @@ final class Coordinates(ctm0: Array[Float]) {
 
   /** coordinates.cc:67-92 — glyph-box computation; drops chunks whose
     * baseline moved vertically (vertical text). */
-  def adjustCoordinates(s: String, len: Int, width: Float, tj: Float, fonts: Fonts): TextChunk = {
+  def adjustCoordinates(s: String, len: Int, width: Float, tj: Float, fonts: Fonts,
+                        utf8LenHint: Int = -1): TextChunk = {
     if (tj != 0f) x -= tj * tfs * th * 0.001f
     val ty = fonts.getDescent * tfs + fonts.getRise * tfs
     val adv = width * tfs * th
@@ -118,7 +123,7 @@ final class Coordinates(ctm0: Array[Float]) {
     val x1 = math.max(start._1, end._1)
     val y0 = math.min(start._2, end._2)
     val y1 = math.max(start._2, end._2)
-    TextChunk.of(s, new Coords(x0, y0, x1, y1))
+    TextChunk.of(s, new Coords(x0, y0, x1, y1), utf8LenHint)
   }
 
   def doCm(st: OpStack): Unit = {
