@@ -163,6 +163,39 @@ object SparkEntry {
 
   private val streamFixtures = Seq("f01_minimal_flate", "f03_filters")
 
+  /** By-construction event-timed doc stream: three sources across two
+    * hour windows, with planted duplicate texts at higher doc_ids. */
+  private def streamDocs: Seq[graft.streaming.StreamingOps.TimedDoc] = {
+    import graft.streaming.StreamingOps.TimedDoc
+    def ts(hour: Int, minute: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(((hour * 60L + minute) * 60L) * 1000L + 1767225600000L) // 2026-01-01 UTC
+    Seq(
+      TimedDoc(1, "alpha text one", "web", ts(0, 10)),
+      TimedDoc(2, "beta text two", "web", ts(0, 40)),
+      TimedDoc(3, "gamma text three", "books", ts(0, 55)),
+      TimedDoc(4, "delta text four", "web", ts(1, 5)),
+      TimedDoc(5, "epsilon text five", "books", ts(1, 20)),
+      TimedDoc(101, "alpha text one", "web", ts(1, 30)),   // dup of 1
+      TimedDoc(102, "gamma text three", "books", ts(1, 45)) // dup of 3
+    )
+  }
+
+  private def streamWindowOracle: String =
+    ("SELECT CAST(w AS BIGINT) AS win_start, source, CAST(nd AS BIGINT) AS n_docs, CAST(nc AS BIGINT) AS n_chars " +
+      "FROM (VALUES " +
+      // window 2026-01-01T00:00 UTC = epoch 1767225600
+      "(1767225600, 'web', 2, 27), (1767225600, 'books', 1, 16), " +
+      // window 01:00: web ids 4,101; books ids 5,102
+      "(1767229200, 'web', 2, 29), (1767229200, 'books', 2, 33)" +
+      ") AS t(w, source, nd, nc)")
+
+  private def streamDedupOracle: String = {
+    val rows = streamDocs.groupBy(_.text).map { case (t, ds) => ds.minBy(_.doc_id) }
+      .toSeq.sortBy(_.doc_id)
+      .map(d => s"(${d.doc_id}, ${sqlStr(d.text)})")
+    s"SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM (VALUES ${rows.mkString(", ")}) AS t(doc_id, text)"
+  }
+
   /** Exact VALUES oracle from the by-construction expected text. */
   private def extractionOracle(fixtures: Seq[PdfBuilder.Fixture]): String = {
     val rows = fixtures.map { f =>
@@ -315,6 +348,31 @@ object SparkEntry {
           .toDF("media_ref", "bytes").createOrReplaceTempView("x_udf_media")
         s.sql("SELECT media_ref, pdf2txt(bytes) AS text, pdf2txt_safe(bytes) AS text_safe FROM x_udf_media")
       }),
+      // watermarked event-time windowed aggregation (streaming primitive)
+      "x_stream_window" -> ((s: SparkSession, _: String) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-swin").toString
+        s.createDataset(streamDocs).toDF().write.parquet(s"$tmp/in")
+        val schema = org.apache.spark.sql.Encoders.product[graft.streaming.StreamingOps.TimedDoc].schema
+        val sink = "x_stream_window_" + java.lang.Long.toHexString(System.nanoTime())
+        val q = graft.streaming.StreamingOps.windowedDocMetrics(
+          s.readStream.schema(schema).parquet(s"$tmp/in"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .option("checkpointLocation", s"$tmp/_checkpoint")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+      }),
+      // cross-batch streaming exact dedup via flatMapGroupsWithState
+      "x_stream_dedup" -> ((s: SparkSession, _: String) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+        s.createDataset(streamDocs).toDF().write.parquet(s"$tmp/in")
+        graft.streaming.StreamingOps.runDedupStream(s, s"$tmp/in", s"$tmp/out")
+        s.read.parquet(s"$tmp/out/deduped").select(col("doc_id"), col("text"))
+      }),
       // Structured-Streaming surface: file-source micro-batches through the
       // same operators, AvailableNow trigger, checkpointed sink
       "x_stream_extract" -> ((s: SparkSession, _: String) => {
@@ -420,7 +478,9 @@ object SparkEntry {
       "q_semantic_dup_pairs" -> semanticOracle,
       "q_media_features" -> mediaOracle,
       "x_sql_udf" -> sqlUdfOracle,
-      "x_stream_extract" -> extractionOracle(fx(streamFixtures: _*)))
+      "x_stream_extract" -> extractionOracle(fx(streamFixtures: _*)),
+      "x_stream_window" -> streamWindowOracle,
+      "x_stream_dedup" -> streamDedupOracle)
     (extraction ++ sql).toMap
   }
 }

@@ -22,6 +22,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("stateful streaming dedup suppresses duplicates across restarts") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingOps
+    import StreamingOps.TimedDoc
+    def ts(m: Int) = new java.sql.Timestamp(1767225600000L + m * 60000L)
+    val base = java.nio.file.Files.createTempDirectory("sdedup-spec").toString
+    val wave1 = Seq(TimedDoc(1, "aaa", "w", ts(0)), TimedDoc(2, "bbb", "w", ts(1)),
+      TimedDoc(9, "aaa", "w", ts(2))) // in-batch dup
+    val wave2 = Seq(TimedDoc(10, "bbb", "w", ts(3)), // cross-RUN dup: state must survive restart
+      TimedDoc(11, "ccc", "w", ts(4)))
+    s.createDataset(wave1).toDF().write.mode("append").parquet(s"$base/in")
+    StreamingOps.runDedupStream(s, s"$base/in", s"$base/out")
+    s.createDataset(wave2).toDF().write.mode("append").parquet(s"$base/in")
+    StreamingOps.runDedupStream(s, s"$base/in", s"$base/out")
+    val got = s.read.parquet(s"$base/out/deduped").select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 11L), s"got ${got.toSeq}")
+  }
+
+  test("watermarked windowed metrics aggregate by event-time window") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingOps.TimedDoc
+    val base = java.nio.file.Files.createTempDirectory("swin-spec").toString
+    def ts(m: Int) = new java.sql.Timestamp(1767225600000L + m * 60000L)
+    val docs = Seq(TimedDoc(1, "xy", "a", ts(5)), TimedDoc(2, "zw", "a", ts(50)),
+      TimedDoc(3, "qq", "b", ts(70)))
+    s.createDataset(docs).toDF().write.parquet(s"$base/in")
+    val schema = org.apache.spark.sql.Encoders.product[TimedDoc].schema
+    val q = graft.streaming.StreamingOps.windowedDocMetrics(
+      s.readStream.schema(schema).parquet(s"$base/in"))
+      .writeStream.format("memory").queryName("swin_spec").outputMode("complete")
+      .option("checkpointLocation", s"$base/_ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = s.table("swin_spec").as[(Long, String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq((1767225600L, "a", 2L, 4L), (1767229200L, "b", 1L, 2L)), s"got ${got.toSeq}")
+  }
+
   test("two file waves, checkpointed, exactly-once output") {
     val s = spark
     import s.implicits._
