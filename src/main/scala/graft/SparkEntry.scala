@@ -154,6 +154,40 @@ object SparkEntry {
       s"FROM (VALUES ${rows.mkString(", ")}) AS t(media_ref, kind, n_bytes, width, height)"
   }
 
+  /** Deterministic synthetic PNGs (pure JDK ImageIO, no external data). */
+  private def syntheticImages: Seq[(String, Array[Byte])] =
+    (0 until 6).map { i =>
+      val w = 24 + i * 8
+      val h = 16 + i * 4
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, ((x * 37 + y * 91 + i * 701) & 0xffffff))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (f"img$i%02d", bos.toByteArray)
+    }
+
+  private def mediaImageOracle: String = {
+    val rows = syntheticImages.map { case (ref, bytes) =>
+      val (w, h, feat) = MediaOps.decodeImage(bytes, 16)
+      // floats printed via their exact double value: float->double is
+      // exact, the double literal round-trips, and double->float of an
+      // exactly-float-valued double is exact — no 1-ulp literal drift
+      // the inner DOUBLE cast matters: a bare decimal literal parses as
+      // DECIMAL in DuckDB and DECIMAL->FLOAT double-rounds
+      s"(${sqlStr(ref)}, $w, $h, CAST(CAST(${feat(0).toDouble} AS DOUBLE) AS FLOAT), " +
+        s"CAST(CAST(${feat(7).toDouble} AS DOUBLE) AS FLOAT), CAST(CAST(${feat(15).toDouble} AS DOUBLE) AS FLOAT))"
+    }
+    s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(media_ref, width, height, f_first, f_mid, f_last)"
+  }
+
   private val udfFixtures = Seq("f01_minimal_flate", "f13_tj_kerning")
   private def sqlUdfOracle: String = {
     val rows = fx(udfFixtures: _*).map(f =>
@@ -340,6 +374,19 @@ object SparkEntry {
         TrainingOps.vocabTopK(t(s, d, "documents"), k = 100)),
       "q_normalize" -> ((s: SparkSession, d: String) =>
         TrainingOps.normalize(t(s, d, "documents"))),
+      // REAL image decode (JDK ImageIO) over synthetic PNGs
+      "q_media_image" -> ((s: SparkSession, _: String) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val media = sp.createDataset(syntheticImages.map { case (ref, bytes) =>
+          (ref, "image/png", bytes)
+        }).toDF("media_ref", "kind", "bytes")
+        MediaOps.featurize(media, dim = 16).toDF()
+          .select(col("media_ref"), col("width"), col("height"),
+            element_at(col("feature"), 1).as("f_first"),
+            element_at(col("feature"), 8).as("f_mid"),
+            element_at(col("feature"), 16).as("f_last"))
+      }),
       // SQL-UDF surface, driver-gated with an exact VALUES oracle
       "x_sql_udf" -> ((s: SparkSession, _: String) => {
         graft.functions.PdfFunctions.register(s)
@@ -477,6 +524,7 @@ object SparkEntry {
       "q_knn_ivf" -> knnIvfOracle,
       "q_semantic_dup_pairs" -> semanticOracle,
       "q_media_features" -> mediaOracle,
+      "q_media_image" -> mediaImageOracle,
       "x_sql_udf" -> sqlUdfOracle,
       "x_stream_extract" -> extractionOracle(fx(streamFixtures: _*)),
       "x_stream_window" -> streamWindowOracle,

@@ -4,12 +4,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video ride as opaque `binary`
-  * columns with typed metadata. The Spark side — schema, partitioning,
-  * per-partition batch processing — is real; the codec itself is STUBBED
-  * (no image/audio libraries in this container) with a deterministic fake
-  * that hashes the payload into a feature vector. Swap `decodeStub` for a
-  * real decoder (e.g. a JNI codec or `mapInPandas` + PIL on PySpark) to go
-  * to production. */
+  * columns with typed metadata. Images (PNG/JPEG/BMP/GIF) and WAV audio
+  * decode for REAL via the pure-JDK codecs (javax.imageio /
+  * javax.sound.sampled — no external libraries); formats the JDK cannot
+  * decode (application/pdf payloads, video) fall back to a deterministic
+  * stub so the pipeline shape stays testable end-to-end. Swap the
+  * fallback for a JNI codec to cover the rest in production. */
 object MediaOps {
 
   case class MediaMeta(media_ref: String, kind: String, bytes: Array[Byte])
@@ -44,6 +44,81 @@ object MediaOps {
     (w, ht, feat)
   }
 
+  /** REAL image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF): decoded
+    * dimensions + a `gridxgrid` mean-luma feature vector (the standard
+    * thumbnail-pool embedding stand-in). Returns null if no codec claims
+    * the payload. */
+  def decodeImage(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    val grid = math.max(1, math.sqrt(dim.toDouble).toInt)
+    val feat = new Array[Float](dim)
+    val cnt = new Array[Int](dim)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(grid - 1, y * grid / h)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(grid - 1, x * grid / w)
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+        val cell = gy * grid + gx
+        if (cell < dim) { feat(cell) += luma / 255.0f; cnt(cell) += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    var k = 0
+    while (k < dim) { if (cnt(k) > 0) feat(k) /= cnt(k); k += 1 }
+    (w, h, feat)
+  }
+
+  /** REAL WAV decode via javax.sound.sampled: (sampleRate, frames) as the
+    * "dimensions", per-segment RMS amplitude as the feature vector. */
+  def decodeWav(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      val frameLen = in.getFrameLength.toInt
+      val data = in.readAllBytes()
+      val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+      val n = data.length / bytesPerSample
+      val feat = new Array[Float](dim)
+      val cnt = new Array[Int](dim)
+      var i = 0
+      while (i < n) {
+        val v =
+          if (bytesPerSample == 2) {
+            val lo = data(i * 2) & 0xff
+            val hi = data(i * 2 + 1)
+            ((hi << 8) | lo) / 32768.0f
+          } else ((data(i) & 0xff) - 128) / 128.0f
+        val seg = math.min(dim - 1, i * dim / math.max(1, n))
+        feat(seg) += v * v
+        cnt(seg) += 1
+        i += 1
+      }
+      var k = 0
+      while (k < dim) { if (cnt(k) > 0) feat(k) = math.sqrt(feat(k) / cnt(k)).toFloat; k += 1 }
+      (fmt.getSampleRate.toInt, frameLen, feat)
+    } finally in.close()
+  }
+
+  /** Decode dispatch: real JDK codecs first, deterministic stub fallback. */
+  def decode(kind: String, bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {
+    try {
+      if (kind.startsWith("image/")) {
+        val r = decodeImage(bytes, dim)
+        if (r != null) return r
+      } else if (kind == "audio/wav" || kind == "audio/x-wav") {
+        return decodeWav(bytes, dim)
+      }
+    } catch { case _: Exception => } // undecodable payload -> stub fallback
+    decodeStub(kind, bytes, dim)
+  }
+
   /** Feature extraction over the media dimension: salted repartition (same
     * skew treatment as extraction) then per-partition batch decode. */
   def featurize(media: DataFrame, dim: Int = 16, numPartitions: Int = 0)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
@@ -57,7 +132,7 @@ object MediaOps {
       .mapPartitions { it =>
         // per-partition reused scratch would live here for a real codec
         it.map { m =>
-          val (w, h, feat) = decodeStub(m.kind, m.bytes, dim)
+          val (w, h, feat) = decode(m.kind, m.bytes, dim)
           MediaFeatures(m.media_ref, m.kind, m.bytes.length.toLong, w, h, feat)
         }
       }
