@@ -218,6 +218,14 @@ object TrainingOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Fused cosine via the native codegen expression (bitwise-identical to
+    * [[cosine]], see graft.expressions.CosineSim); registers the function
+    * idempotently on the dataframe's session. */
+  private def fusedCosine(df: DataFrame, a: String, b: String): Column = {
+    graft.expressions.CosineSim.register(df.sparkSession)
+    expr(s"${graft.expressions.CosineSim.name}($a, $b)")
+  }
+
   /** Upcast the float embedding to array<double> once: every downstream
     * dot/norm is then pure double IEEE arithmetic in deterministic
     * left-fold order — bitwise-reproducible by any engine (the DuckDB
@@ -232,7 +240,7 @@ object TrainingOps {
     val q = broadcast(queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb")))
     val scored = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("embedding")).crossJoin(q)
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
+      .select(col("query_id"), col("vec_id"), fusedCosine(embeddings, "q_emb", "embedding").as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
@@ -264,7 +272,7 @@ object TrainingOps {
       .withColumn("bucket", lshBucket(col("q_emb"), dim, bits)))
     val scored = e.join(q, Seq("bucket"))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
+      .select(col("query_id"), col("vec_id"), fusedCosine(embeddings, "q_emb", "embedding").as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
@@ -320,7 +328,7 @@ object TrainingOps {
       .withColumn("cell", explode(nearestCells(col("q_emb"), nProbe))))
     val scored = e.join(q, Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), cosine(col("q_emb"), col("embedding")).as("cos"))
+      .select(col("query_id"), col("vec_id"), fusedCosine(embeddings, "q_emb", "embedding").as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
@@ -342,7 +350,7 @@ object TrainingOps {
     val a = capped.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = capped.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
+      .select(col("id_a"), col("id_b"), round(fusedCosine(embeddings, "emb_a", "emb_b"), 4).as("cos"))
       .where(col("cos") >= threshold)
   }
 
