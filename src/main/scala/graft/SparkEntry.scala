@@ -374,6 +374,9 @@ object SparkEntry {
         TrainingOps.vocabTopK(t(s, d, "documents"), k = 100)),
       "q_normalize" -> ((s: SparkSession, d: String) =>
         TrainingOps.normalize(t(s, d, "documents"))),
+      // the composed normalize→dedup→quality→sample cleaning pipeline
+      "q_pipeline_clean" -> ((s: SparkSession, d: String) =>
+        TrainingOps.cleanCorpus(t(s, d, "documents"))),
       // REAL image decode (JDK ImageIO) over synthetic PNGs
       "q_media_image" -> ((s: SparkSession, _: String) => {
         implicit val sp: SparkSession = s
@@ -519,6 +522,11 @@ object SparkEntry {
       "q_normalize" ->
         ("SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), " +
           "' +', ' ', 'g')) AS norm_text FROM documents"),
+      "q_pipeline_clean" ->
+        ("WITH norm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text FROM documents), " +
+          "dd AS (SELECT MIN(doc_id) AS doc_id FROM norm GROUP BY norm_text), " +
+          "q AS (SELECT dd.doc_id FROM dd JOIN documents USING (doc_id) WHERE LENGTH(text) >= 50) " +
+          "SELECT doc_id FROM q WHERE substr(md5(doc_id::VARCHAR || ':s42'), 1, 8) < '80000000'"),
       "q_knn_brute" -> knnBruteOracle,
       "q_knn_lsh" -> knnLshOracle,
       "q_knn_ivf" -> knnIvfOracle,

@@ -423,6 +423,21 @@ object TrainingOps {
       trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
         .as("norm_text"))
 
+  /** The composed cleaning pipeline a training-data user actually runs:
+    * normalize → exact-dedup on normalized text (keep the lowest doc_id)
+    * → quality gate (drop 'short') → deterministic sample. Every stage is
+    * one of the operators above; the composition stays fully declarative
+    * (one logical plan, Catalyst fuses the scans). */
+  def cleanCorpus(docs: DataFrame, sampleRateHex: String = "80000000"): DataFrame = {
+    val norm = normalize(docs).join(docs, Seq("doc_id"))
+    val deduped = norm.groupBy(col("norm_text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val quality = deduped.join(docs, Seq("doc_id"))
+      .where(length(col("text")) >= 50)
+    deterministicSample(quality, "doc_id", sampleRateHex)
+      .select(col("doc_id"))
+  }
+
   // ---------- text analysis ----------
 
   /** Whitespace token count, pure expressions (matches the ANSI oracle). */
