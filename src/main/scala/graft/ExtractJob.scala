@@ -65,21 +65,27 @@ object ExtractJob {
     *
     * Typical media NEVER crosses a shuffle: extraction runs in the scan
     * stage (narrow), where fine-grained input splits + the law of large
-    * numbers balance the load. Only the oversized tail (> `heavyBytes`,
-    * the blobs that can actually straggle one input split) pays a salted
-    * (size_bucket, salt) repartition that spreads them uniformly. Measured
-    * on the bench corpus this removes ~99% of shuffled bytes and is ~1.6×
-    * faster than repartitioning everything. */
+    * numbers balance the load. Only the oversized tail (size_bucket >
+    * `heavyBucket`, i.e. > 2^heavyBucket bytes — the blobs that can
+    * actually straggle one input split) pays a salted (size_bucket, salt)
+    * repartition that spreads them uniformly. Measured on the bench corpus
+    * this removes ~99% of shuffled bytes and is ~1.6× faster than
+    * repartitioning everything.
+    *
+    * The split predicate is on the size_bucket COLUMN, not
+    * octet_length(bytes): both branch filters push down to the parquet
+    * scan, so row-group min/max stats prune the heavy branch to almost
+    * nothing instead of re-reading every payload twice. */
   def extractMedia(media: DataFrame, neededRefs: DataFrame, numPartitions: Int,
-                   heavyBytes: Long = 4L << 20)(implicit spark: SparkSession): Dataset[Extracted] = {
+                   heavyBucket: Int = 22 /* 4 MB */)(implicit spark: SparkSession): Dataset[Extracted] = {
     import spark.implicits._
     // AQE picks broadcast for a small ref set, sort-merge otherwise
     val work = media.join(neededRefs, Seq("media_ref"))
       .select(col("media_ref"), col("bytes"), col("size_bucket"))
     def ds(df: DataFrame) =
       df.select(col("media_ref").as[String], col("bytes").as[Array[Byte]]).as[(String, Array[Byte])]
-    val small = ds(work.where(octet_length(col("bytes")) <= heavyBytes))
-    val heavy = ds(work.where(octet_length(col("bytes")) > heavyBytes)
+    val small = ds(work.where(col("size_bucket") <= heavyBucket))
+    val heavy = ds(work.where(col("size_bucket") > heavyBucket)
       .withColumn("salt", pmod(xxhash64(col("media_ref")), lit(numPartitions)))
       .repartition(numPartitions, col("size_bucket"), col("salt")))
     runKernel(small).union(runKernel(heavy))

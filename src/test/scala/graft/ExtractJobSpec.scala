@@ -75,7 +75,7 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val refs = media.select("media_ref").distinct()
     def key(e: Model.Extracted) = (e.media_ref, e.ok, e.text)
     val small = ExtractJob.extractMedia(media, refs, 4) // all under 4 MB -> narrow
-    val heavy = ExtractJob.extractMedia(media, refs, 4, heavyBytes = 0) // all routed via shuffle
+    val heavy = ExtractJob.extractMedia(media, refs, 4, heavyBucket = 0) // all routed via shuffle
     assert(!small.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning(size_bucket"))
     assert(heavy.queryExecution.executedPlan.toString.contains("Exchange"))
     assert(small.collect().map(key).sorted.toSeq == heavy.collect().map(key).sorted.toSeq)
