@@ -129,10 +129,14 @@ object Bench {
     // INTERLEAVED (4,16,32 × 3 rounds) and each level takes its min across
     // rounds — a noise spike then degrades one round of every level instead
     // of silently biasing one level's only measurement.
-    // the 4↔16 ratio IS the north metric → measure that pair 3×; the
-    // informational 32-core peak twice (schedule bounded so the whole
-    // bench stays well under typical harness timeouts)
-    val schedule = Seq(4, 16, 32, 4, 16, 4, 16, 32)
+    // the 4↔16 ratio IS the north metric → measure that pair 4×
+    // interleaved; the informational 32-core peak twice (schedule bounded
+    // so the whole bench stays well under typical harness timeouts). The
+    // host shows multi-minute throttle windows during which local[32] can
+    // measure SLOWER than local[16]; min-per-level over interleaved rounds
+    // is the defense — a reported number is always one the machine
+    // actually achieved.
+    val schedule = Seq(4, 16, 32, 4, 16, 4, 16, 32, 4, 16)
     val results = schedule.map(c => c -> measureForked(c, inDir))
     def best(cpus: Int): (Long, Double) = {
       val rs = results.collect { case (`cpus`, r) if !r._2.isNaN => r }
