@@ -119,22 +119,29 @@ object MediaOps {
     decodeStub(kind, bytes, dim)
   }
 
-  /** Feature extraction over the media dimension: salted repartition (same
-    * skew treatment as extraction) then per-partition batch decode. */
-  def featurize(media: DataFrame, dim: Int = 16, numPartitions: Int = 0)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+  /** Feature extraction over the media dimension — same hybrid skew
+    * routing as ExtractJob.extractMedia: typical payloads decode in the
+    * scan stage (narrow, bytes never shuffle); only the oversized tail
+    * (> `heavyBytes`) pays a salted repartition to spread stragglers. */
+  def featurize(media: DataFrame, dim: Int = 16, numPartitions: Int = 0,
+                heavyBytes: Long = 4L << 20)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions else spark.sessionState.conf.numShufflePartitions
-    media.select(col("media_ref"), col("kind"), col("bytes"))
-      .withColumn("salt", pmod(xxhash64(col("media_ref")), lit(parts)))
-      .repartition(parts, col("salt"))
-      .drop("salt")
-      .as[MediaMeta]
-      .mapPartitions { it =>
+    val work = media.select(col("media_ref"), col("kind"), col("bytes"))
+    def run(ds: Dataset[MediaMeta]): Dataset[MediaFeatures] =
+      ds.mapPartitions { it =>
         // per-partition reused scratch would live here for a real codec
         it.map { m =>
           val (w, h, feat) = decode(m.kind, m.bytes, dim)
           MediaFeatures(m.media_ref, m.kind, m.bytes.length.toLong, w, h, feat)
         }
       }
+    val small = work.where(octet_length(col("bytes")) <= heavyBytes).as[MediaMeta]
+    val heavy = work.where(octet_length(col("bytes")) > heavyBytes)
+      .withColumn("salt", pmod(xxhash64(col("media_ref")), lit(parts)))
+      .repartition(parts, col("salt"))
+      .drop("salt")
+      .as[MediaMeta]
+    run(small).union(run(heavy))
   }
 }

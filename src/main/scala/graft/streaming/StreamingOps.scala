@@ -26,16 +26,20 @@ object StreamingOps {
         col("source"), col("n_docs"), col("n_chars"))
 
   /** Cross-batch streaming exact dedup via flatMapGroupsWithState: keyed
-    * by text, the state is a single "seen" bit; a key's first batch emits
-    * its minimal doc_id, every later occurrence (same batch or any later
-    * micro-batch) is suppressed. State is per-key-tiny and lives in the
-    * checkpointed state store, so a restart resumes dedup exactly where
-    * it left off. */
+    * by xxhash64(text) — 8-byte keys, NOT the text itself, so the
+    * checkpointed state store holds one long + one bit per distinct
+    * document instead of the corpus (collision-tolerant, the same
+    * trade-off as the batch hash-dedup). A key's first batch emits its
+    * minimal doc_id; every later occurrence (same batch or any later
+    * micro-batch) is suppressed; a restart resumes dedup exactly where it
+    * left off. */
   def dedupByTextStream(docs: Dataset[TimedDoc]): Dataset[TimedDoc] = {
     import docs.sparkSession.implicits._
-    docs.groupByKey(_.text)
+    docs.groupByKey(d => org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(d.text),
+        org.apache.spark.sql.types.StringType, 42L))
       .flatMapGroupsWithState[Boolean, TimedDoc](OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[TimedDoc], state: GroupState[Boolean]) =>
+        (_: Long, rows: Iterator[TimedDoc], state: GroupState[Boolean]) =>
           if (state.exists) Iterator.empty
           else {
             state.update(true)
