@@ -146,6 +146,15 @@ object Bench {
     val (_, sec4) = best(4)
     val (_, sec16) = best(16)
     val (n32, sec32) = best(32)
+
+    // bandwidth-isolated kernel evidence: same PDF mix, plain thread pool,
+    // no Spark — isolates extraction thread-scaling from scan/plan/sched
+    val kMedia = graft.testkit.KernelBench.genMedia(3000)
+    graft.testkit.KernelBench.run(kMedia.take(500), 4) // JIT warm
+    def kbest(t: Int) = (1 to 2).map(_ => graft.testkit.KernelBench.run(kMedia, t)).max
+    val k4 = kbest(4)
+    val k16 = kbest(16)
+    val kernelEff = k16 / (4.0 * k4)
     val dps4 = nDocs / sec4
     val dps16 = nDocs / sec16
     val dps32 = nDocs / sec32
@@ -168,7 +177,10 @@ object Bench {
       "extract_sec_local16" -> sec16,
       "extract_sec_local32" -> sec32,
       "extract_span_rows" -> n32.toDouble,
-      "extract_docs" -> nDocs.toDouble)
+      "extract_docs" -> nDocs.toDouble,
+      "kernel_media_per_sec_4t" -> k4,
+      "kernel_media_per_sec_16t" -> k16,
+      "kernel_scaling_efficiency_4_to_16" -> kernelEff)
     val qs = (queryTimes ++ extras)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
