@@ -25,10 +25,13 @@ final class Text(var coordinates: Coords, private var _text: String) {
   def copyOf: Text = new Text(coordinates.copyOf, _text)
 }
 
-/** The unit flowing through layout reassembly (coordinates.h:60-112). */
+/** The unit flowing through layout reassembly (coordinates.h:60-112).
+  * The texts buffer starts at capacity 1 — most chunks carry exactly one
+  * text, and the default 16-slot backing array was ~20% of kernel
+  * allocations. */
 final class TextChunk {
   var coordinates: Coords = new Coords
-  var texts: mutable.ArrayBuffer[Text] = mutable.ArrayBuffer.empty
+  var texts: mutable.ArrayBuffer[Text] = new mutable.ArrayBuffer[Text](1)
   var stringLen: Int = 0
   var isEmpty: Boolean = true
 
@@ -61,7 +64,7 @@ object TextChunk {
     c.coordinates = coords
     val t = new Text(coords.copyOf, text)
     if (utf8LenHint >= 0) t.seedUtf8Len(utf8LenHint)
-    c.texts = mutable.ArrayBuffer(t)
+    c.texts += t
     c.stringLen = t.utf8Len
     c.isEmpty = false
     c

@@ -142,7 +142,7 @@ object Layout {
     chars.foreach { line =>
       if (line.texts.nonEmpty) {
         val whole = new Text(line.coordinates.copyOf, "")
-        val sb = new java.lang.StringBuilder
+        val sb = new java.lang.StringBuilder(line.stringLen + line.texts.size)
         var i = 0
         while (i < line.texts.size) {
           sb.append(line.texts(i).text)
@@ -154,7 +154,9 @@ object Layout {
           i += 1
         }
         whole.text = sb.toString
-        line.texts = ArrayBuffer(whole)
+        val one = new ArrayBuffer[Text](1)
+        one += whole
+        line.texts = one
       }
     }
   }
@@ -182,7 +184,8 @@ object Layout {
 
   /** pages_extractor.cc:323-335 — transitive closure; consumes from `lines`. */
   private def getNeighbourLines(lines: ArrayBuffer[TextChunk], lineArg: TextChunk): ArrayBuffer[TextChunk] = {
-    val result = ArrayBuffer(lineArg)
+    val result = new ArrayBuffer[TextChunk](4)
+    result += lineArg
     var i = 0
     while (i < result.size) {
       var j = 0
