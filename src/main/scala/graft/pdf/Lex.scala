@@ -455,6 +455,11 @@ object Lex {
   }
 
   private def unescapeString(str: String): String = {
+    // fast path: no escapes (the overwhelmingly common case) -> one slice
+    if (str.indexOf('\\') < 0) {
+      if (str.length <= 2) return ""
+      return str.substring(1, str.length - 1)
+    }
     val sb = new java.lang.StringBuilder(str.length)
     val pos = new Pos(1)
     while (pos.i < str.length - 1) {
@@ -582,7 +587,9 @@ object Lex {
     m2(0) * m1(4) + m2(2) * m1(5) + m2(4),
     m2(1) * m1(4) + m2(3) * m1(5) + m2(5))
 
-  def identityMatrix: Array[Float] = Array(1f, 0f, 0f, 1f, 0f, 0f)
+  // shared: every consumer (Coordinates tm/ctm, XObject matrices) only
+  // REASSIGNS matrices, never mutates them in place
+  val identityMatrix: Array[Float] = Array(1f, 0f, 0f, 1f, 0f, 0f)
 
   /** common.cc:732-735 */
   def applyMatrixNorm(m: Array[Float], x: Float, y: Float): (Float, Float) =

@@ -457,17 +457,33 @@ final class PagesExtractor(
       idsGen: mutable.ArrayBuffer[(Long, Long)],
       visitedIds: mutable.Set[Long]): String = {
     val pageIdStr = pageId.toString
-    val pageContent = new java.lang.StringBuilder
-    idsGen.foreach { idGen =>
+    // single-/Contents fast path (the common case): hand the stream
+    // straight to the interpreter — no builder, no full-content copy
+    var single: String = null
+    var pageContent: java.lang.StringBuilder = null
+    var gi = 0
+    while (gi < idsGen.length) {
+      val idGen = idsGen(gi)
       val streamPair = storage.getObject(idGen._1)
       if (streamPair.kind == Kind.DICTIONARY) {
         val props = getDictionaryData(streamPair.raw, 0)
         fonts.update(pageIdStr, getFonts(props, fonts(pageIdStr)))
       }
-      pageContent.append(outputContent(visitedIds, idGen))
+      val part = outputContent(visitedIds, idGen)
+      if (single == null && pageContent == null) single = part
+      else {
+        if (pageContent == null) {
+          pageContent = new java.lang.StringBuilder(single.length + part.length + 64)
+          pageContent.append(single)
+          single = null
+        }
+        pageContent.append(part)
+      }
+      gi += 1
     }
+    val content = if (single != null) single else if (pageContent != null) pageContent.toString else ""
     val sb = new java.lang.StringBuilder
-    extractText(pageContent.toString, pageIdStr, None, 0).foreach { r =>
+    extractText(content, pageIdStr, None, 0).foreach { r =>
       sb.append(Layout.renderText(r))
     }
     sb.toString
