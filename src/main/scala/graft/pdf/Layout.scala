@@ -140,7 +140,11 @@ object Layout {
     * Deliberately does NOT re-sort by x (reference comment at 360-369). */
   private def mergeChars(chars: ArrayBuffer[TextChunk]): Unit = {
     chars.foreach { line =>
-      if (line.texts.nonEmpty) {
+      if (line.texts.size == 1) {
+        // single-text line (the norm): reuse the string, just rebase the
+        // coordinates onto the line box
+        line.texts(0).coordinates = line.coordinates.copyOf
+      } else if (line.texts.nonEmpty) {
         val whole = new Text(line.coordinates.copyOf, "")
         val sb = new java.lang.StringBuilder(line.stringLen + line.texts.size)
         var i = 0
@@ -208,11 +212,20 @@ object Layout {
       else a.coordinates.x0 < b.coordinates.x0
     }
     if (sorted.isEmpty) return new TextChunk
-    val result = TextChunk.of(sorted(0).texts(0).text + "\n", sorted(0).coordinates.copyOf)
-    // accumulate the joined text once (the previous += per line copied the
-    // whole growing string per iteration — O(lines²) bytes per box)
-    val sb = new java.lang.StringBuilder(result.texts(0).text)
+    // build the joined text ONCE; stringLen keeps the reference's quirk of
+    // counting only the FIRST line's newline (utf8(line0+"\n") + Σ rest)
+    val first = sorted(0).texts(0)
+    val coords = sorted(0).coordinates.copyOf
+    val result = new TextChunk
+    result.coordinates = coords
+    result.isEmpty = false
+    result.stringLen = first.utf8Len + 1
+    var total = first.text.length + 1
     var i = 1
+    while (i < sorted.size) { total += sorted(i).texts(0).text.length + 1; i += 1 }
+    val sb = new java.lang.StringBuilder(total)
+    sb.append(first.text).append('\n')
+    i = 1
     while (i < sorted.size) {
       sb.append(sorted(i).texts(0).text).append('\n')
       if (sorted(i).coordinates.x0 < result.coordinates.x0) result.coordinates.x0 = sorted(i).coordinates.x0
@@ -222,8 +235,7 @@ object Layout {
       result.stringLen += sorted(i).stringLen
       i += 1
     }
-    if (sorted.size > 1) result.texts(0).text = sb.toString
-    result.texts(0).coordinates = result.coordinates.copyOf
+    result.texts += new Text(result.coordinates.copyOf, sb.toString)
     result
   }
 

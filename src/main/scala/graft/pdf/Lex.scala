@@ -492,6 +492,17 @@ object Lex {
   def decodeString(str: String): String =
     if (str.nonEmpty && str.charAt(0) == '<') hexDecodeString(str) else unescapeString(str)
 
+  /** decodeString over a slice: the escape-free literal fast path decodes
+    * straight from the buffer (one slice, no intermediate raw substring);
+    * hex/escaped strings fall back through the full decoder. */
+  def decodeStringSlice(s: String, from: Int, to: Int): String = {
+    if (to - from >= 2 && s.charAt(from) == '(') {
+      val bs = s.indexOf('\\', from)
+      if (bs < 0 || bs >= to - 1) return s.substring(from + 1, to - 1)
+    }
+    decodeString(s.substring(from, to))
+  }
+
   // ---- numbers / ids (common.cc:630-719, 793-823) ----
 
   def findNumber(s: String, off0: Int): Int = {
@@ -654,5 +665,12 @@ final class OpStack(val buffer: String) {
     checkNonEmpty()
     n -= 1
     Lex.stofSlice(buffer, starts(n), ends(n))
+  }
+
+  /** pop a string operand decoded in place (escape-free fast path). */
+  def popDecoded(): String = {
+    checkNonEmpty()
+    n -= 1
+    Lex.decodeStringSlice(buffer, starts(n), ends(n))
   }
 }

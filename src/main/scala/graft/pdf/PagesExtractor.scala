@@ -325,7 +325,7 @@ final class PagesExtractor(
 
   private def doTj(arg: Arg): Unit = {
     if (!arg.in || arg.encoding == null || arg.encoding.isVertical) return
-    val chunk = arg.encoding.getString(decodeString(arg.st.popStr()._2), arg.coordinates, 0f, fonts(arg.resourceId))
+    val chunk = arg.encoding.getString(arg.st.popDecoded(), arg.coordinates, 0f, fonts(arg.resourceId))
     if (!chunk.isEmpty) arg.result(0) += chunk
   }
 
@@ -349,7 +349,7 @@ final class PagesExtractor(
   private def doQuote(arg: Arg): Unit = {
     if (arg.encoding == null || !arg.in) { return }
     arg.coordinates.setQuote(arg.st)
-    arg.result(0) += arg.encoding.getString(decodeString(arg.st.popStr()._2), arg.coordinates, 0f, fonts(arg.resourceId))
+    arg.result(0) += arg.encoding.getString(arg.st.popDecoded(), arg.coordinates, 0f, fonts(arg.resourceId))
   }
 
   private def doDoubleQuote(arg: Arg): Unit = {
