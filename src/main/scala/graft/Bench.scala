@@ -102,9 +102,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // sized so steady-state kernel throughput dominates the fixed per-job
-    // planning cost (~0.5 s) the way a real long-running job amortizes it
+    // planning cost (~0.5 s) the way a real long-running job amortizes it;
+    // re-grown after the round-2 kernel got ~2x faster
     val nDocs = sys.env.get("SPARK_GRAFT_BENCH_DOCS").map(_.toInt).getOrElse {
-      if (sfDir.contains("sf0.1")) 15000 else if (sfDir.contains("sf0.01")) 2000 else 200
+      if (sfDir.contains("sf0.1")) 24000 else if (sfDir.contains("sf0.01")) 2000 else 200
     }
 
     // prepare the synthetic interleaved corpus once (seed=42, generated
