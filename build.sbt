@@ -23,11 +23,17 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+val driverMemGb: Int =
+  scala.util.Try(sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").toLowerCase.stripSuffix("g").toInt).getOrElse(8)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${driverMemGb}g",
   // throughput GC: measured 0.81 scaling efficiency 8→32 threads on the
   // allocation-heavy extraction kernel vs 0.70 with default G1
   "-XX:+UseParallelGC",
+  // large young gen for the allocation-heavy kernel (interleaved A/B:
+  // +5-13% at 16 threads); scaled to the heap so smaller SPARK_DRIVER_MEM
+  // settings still start
+  s"-Xmn${math.max(1, driverMemGb * 5 / 8)}g",
 )

@@ -57,11 +57,10 @@ object Bench {
       _root_.java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toSeq
         .filterNot(a => a.startsWith("-XX:ParallelGCThreads") || a.startsWith("-agentlib"))
     }
+    // the heap-scaled -Xmn (large young gen for the allocation-heavy
+    // kernel) is inherited from the parent's javaOptions
     val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
       s"-XX:ParallelGCThreads=${math.max(2, cpus)}",
-      // allocation-heavy kernel: a large young gen cuts minor-GC frequency
-      // (interleaved A/B measured +5-13% at 16 threads)
-      "-Xmn5g",
       "-cp", System.getProperty("java.class.path"),
       "graft.Bench", "--measure", cpus.toString, inDir)
     val pb = new ProcessBuilder(cmd: _*)
