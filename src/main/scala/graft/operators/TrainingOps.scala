@@ -385,8 +385,12 @@ object TrainingOps {
       val next = labels.join(neighborMin, labels("id") === neighborMin("a"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .where(col("label") =!= col("old")).limit(1).count()
+      // round 1 always changes something when edges exist (the larger
+      // endpoint of any edge adopts the smaller label) — skip its check
+      val changed =
+        if (iter == 0) 1L
+        else next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+          .where(col("label") =!= col("old")).limit(1).count()
       labels = next
       converged = changed == 0
       iter += 1
