@@ -79,8 +79,9 @@ object Bench {
   }
 
   /** Child mode: one level, one JVM. Warm once on a slice (JIT+codegen,
-    * excluded), then min-of-2 measured runs (cross-JVM repetition comes
-    * from the interleaved schedule). */
+    * excluded), then measured runs — one for the slow 4-core level (its
+    * repetition comes from the 4 interleaved children), two for the
+    * faster levels. Keeps the whole bench inside harness timeouts. */
   private def childMeasure(cpus: Int, inDir: String): Unit = {
     val s = session(cpus)
     locally { // warm: codegen + JIT on a corpus slice
@@ -91,7 +92,8 @@ object Bench {
         .where(col("media_ref") =!= "").distinct()
       ExtractJob.assembleSpans(docs, ExtractJob.extractMedia(media, refs, cpus * 2).toDF()).count()
     }
-    val runs = (1 to 2).map(_ => extractionRun(s, inDir, cpus))
+    val nRuns = if (cpus <= 4) 1 else 2
+    val runs = (1 to nRuns).map(_ => extractionRun(s, inDir, cpus))
     s.stop()
     println(s"RESULT ${runs.head._1} ${runs.map(_._2).min}")
   }
