@@ -142,8 +142,22 @@ object Bench {
     // measure SLOWER than local[16]; min-per-level over interleaved rounds
     // is the defense — a reported number is always one the machine
     // actually achieved.
-    val schedule = Seq(4, 16, 32, 4, 16, 4, 16, 32, 4, 16)
-    val results = schedule.map(c => c -> measureForked(c, inDir))
+    // Kernel evidence (bandwidth-isolated, plain thread pool, no Spark) is
+    // measured INTERLEAVED with the job pairs — one (4t,16t) kernel rep in
+    // the parent right after each forked (4,16) job pair — so both
+    // estimators sample the same noise windows instead of the kernel getting
+    // whatever window happens to follow the whole schedule (r2 measured an
+    // in-bench 0.52 vs 0.84+ standalone that way).
+    val kMedia = graft.testkit.KernelBench.genMedia(3000)
+    graft.testkit.KernelBench.run(kMedia.take(500), 4) // JIT warm
+    val kernelPairs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    val schedule = Seq(Seq(4, 16, 32), Seq(4, 16), Seq(4, 16), Seq(4, 16, 32))
+    val results = schedule.flatMap { group =>
+      val rs = group.map(c => c -> measureForked(c, inDir))
+      kernelPairs += ((graft.testkit.KernelBench.run(kMedia, 4),
+        graft.testkit.KernelBench.run(kMedia, 16)))
+      rs
+    }
     def best(cpus: Int): (Long, Double) = {
       val rs = results.collect { case (`cpus`, r) if !r._2.isNaN => r }
       (rs.head._1, rs.map(_._2).min)
@@ -153,27 +167,30 @@ object Bench {
     val (n32, sec32) = best(32)
 
     // PAIRED efficiency: each adjacent (4,16) schedule pair ran back-to-back
-    // inside one noise window, so its ratio is internally consistent; the
-    // best paired round is the efficiency the machine actually demonstrated.
-    // (The min-per-level ratio mixes windows and is systematically biased
-    // DOWN on this host: a throttled window still delivers 4 quiet cores
-    // but rarely 16, so min(t4) comes from a clean window while min(t16)
-    // often doesn't.)
-    val pairedEffs = results.sliding(2).collect {
-      case Seq((4, (_, a)), (16, (_, b))) if !a.isNaN && !b.isNaN => a / (4.0 * b)
+    // inside one noise window, so its ratio is internally consistent. The
+    // MEDIAN of the paired rounds is the headline — max() over noisy samples
+    // cherry-picks upward (r2 shipped a physically impossible 3.03 that way),
+    // and the min-per-level ratio mixes windows (biased DOWN: a throttled
+    // window still delivers 4 quiet cores but rarely 16). A paired ratio
+    // > ~1.05 is physically impossible for this job (super-linear scaling),
+    // so such pairs are discarded as noise before the median; the headline
+    // is additionally clamped to 1.0 and raw pair times are emitted for
+    // audit.
+    val jobPairs = results.sliding(2).collect {
+      case Seq((4, (_, a)), (16, (_, b))) if !a.isNaN && !b.isNaN => (a, b)
     }.toSeq
-    val pairedBestEff = if (pairedEffs.nonEmpty) pairedEffs.max else Double.NaN
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) Double.NaN
+      else { val s = xs.sorted; (s((s.size - 1) / 2) + s(s.size / 2)) / 2.0 }
+    val jobEffs = jobPairs.map { case (a, b) => a / (4.0 * b) }
+    val jobEffsSane = jobEffs.filter(_ <= 1.05)
+    val pairedMedianEff = median(if (jobEffsSane.nonEmpty) jobEffsSane else jobEffs)
 
-    // bandwidth-isolated kernel evidence: same PDF mix, plain thread pool,
-    // no Spark — isolates extraction thread-scaling from scan/plan/sched.
-    // Reps interleaved (4,16)×3, max per level: noise windows hit both.
-    val kMedia = graft.testkit.KernelBench.genMedia(3000)
-    graft.testkit.KernelBench.run(kMedia.take(500), 4) // JIT warm
-    val kReps = (1 to 3).map(_ =>
-      (graft.testkit.KernelBench.run(kMedia, 4), graft.testkit.KernelBench.run(kMedia, 16)))
-    val k4 = kReps.map(_._1).max
-    val k16 = kReps.map(_._2).max
-    val kernelEff = k16 / (4.0 * k4)
+    val kernelEffs = kernelPairs.toSeq.map { case (k4, k16) => k16 / (4.0 * k4) }
+    val kernelEffsSane = kernelEffs.filter(_ <= 1.05)
+    val kernelEff = median(if (kernelEffsSane.nonEmpty) kernelEffsSane else kernelEffs)
+    val k4 = kernelPairs.map(_._1).max
+    val k16 = kernelPairs.map(_._2).max
     val dps4 = nDocs / sec4
     val dps16 = nDocs / sec16
     val dps32 = nDocs / sec32
@@ -197,16 +214,20 @@ object Bench {
       "extract_sec_local32" -> sec32,
       "extract_span_rows" -> n32.toDouble,
       "extract_docs" -> nDocs.toDouble,
-      "extract_scaling_efficiency_paired_best" -> pairedBestEff,
+      "extract_scaling_efficiency_paired_median" -> pairedMedianEff,
       "kernel_media_per_sec_4t" -> k4,
       "kernel_media_per_sec_16t" -> k16,
       "kernel_scaling_efficiency_4_to_16" -> kernelEff)
     val qs = (queryTimes ++ extras)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
-    // headline efficiency = the best internally-consistent evidence: the
-    // min-based cross-window ratio or the best time-paired round
-    val headlineEff = if (!pairedBestEff.isNaN) math.max(efficiency, pairedBestEff) else efficiency
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec_local32":$dps32,"scaling_efficiency":$headlineEff}""")
+    // headline efficiency = median of time-paired (4,16) rounds, clamped to
+    // [0,1]; raw value + every pair's (t4,t16)/(k4,k16) emitted for audit.
+    val headlineRaw = if (!pairedMedianEff.isNaN) pairedMedianEff else efficiency
+    val headlineEff = math.min(1.0, headlineRaw)
+    val outOfRange = headlineRaw > 1.0
+    def pairsJson(ps: Seq[(Double, Double)]): String =
+      ps.map { case (a, b) => f"[$a%.4f,$b%.4f]" }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec_local32":$dps32,"scaling_efficiency":$headlineEff,"scaling_efficiency_raw":$headlineRaw,"scaling_out_of_range":$outOfRange,"scaling_pairs_sec_4_16":${pairsJson(jobPairs)},"kernel_pairs_media_per_sec_4_16":${pairsJson(kernelPairs.toSeq)}}""")
   }
 }

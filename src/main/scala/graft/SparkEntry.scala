@@ -223,9 +223,27 @@ object SparkEntry {
       "(1767229200, 'web', 2, 29), (1767229200, 'books', 2, 33)" +
       ") AS t(w, source, nd, nc)")
 
+  /** Second wave for the streaming dedup, processed in a separate
+    * checkpointed run: doc 0 is a duplicate text with a SMALLER doc_id
+    * than the wave-1 winner (id 4) — under the streaming first-seen-wins
+    * contract it must be suppressed, where batch dedup would keep it. */
+  private def streamDedupWave2: Seq[graft.streaming.StreamingOps.TimedDoc] = {
+    import graft.streaming.StreamingOps.TimedDoc
+    def ts(hour: Int, minute: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(((hour * 60L + minute) * 60L) * 1000L + 1767225600000L)
+    Seq(
+      TimedDoc(0, "delta text four", "web", ts(2, 5)), // smaller-id LATE dup of 4
+      TimedDoc(200, "zeta text six", "web", ts(2, 10)))
+  }
+
+  /** Order-aware oracle: first-seen-wins across waves — within a wave the
+    * minimal doc_id per text, across waves the earlier wave's winner. */
   private def streamDedupOracle: String = {
-    val rows = streamDocs.groupBy(_.text).map { case (t, ds) => ds.minBy(_.doc_id) }
-      .toSeq.sortBy(_.doc_id)
+    val wave1 = streamDocs.groupBy(_.text).map { case (_, ds) => ds.minBy(_.doc_id) }.toSeq
+    val seen = wave1.map(_.text).toSet
+    val wave2 = streamDedupWave2.filterNot(d => seen.contains(d.text))
+      .groupBy(_.text).map { case (_, ds) => ds.minBy(_.doc_id) }.toSeq
+    val rows = (wave1 ++ wave2).sortBy(_.doc_id)
       .map(d => s"(${d.doc_id}, ${sqlStr(d.text)})")
     s"SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM (VALUES ${rows.mkString(", ")}) AS t(doc_id, text)"
   }
@@ -419,7 +437,12 @@ object SparkEntry {
       "x_stream_dedup" -> ((s: SparkSession, _: String) => {
         import s.implicits._
         val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
-        s.createDataset(streamDocs).toDF().write.parquet(s"$tmp/in")
+        // two checkpointed runs = two (or more) micro-batches: proves state
+        // survives restart AND the first-seen-wins contract (wave 2 carries
+        // a smaller-id duplicate that must stay suppressed)
+        s.createDataset(streamDocs).toDF().write.mode("append").parquet(s"$tmp/in")
+        graft.streaming.StreamingOps.runDedupStream(s, s"$tmp/in", s"$tmp/out")
+        s.createDataset(streamDedupWave2).toDF().write.mode("append").parquet(s"$tmp/in")
         graft.streaming.StreamingOps.runDedupStream(s, s"$tmp/in", s"$tmp/out")
         s.read.parquet(s"$tmp/out/deduped").select(col("doc_id"), col("text"))
       }),
@@ -439,9 +462,48 @@ object SparkEntry {
           .awaitTermination()
         sp.read.parquet(s"$tmp/out/spans_out")
           .select(col("doc_id"), col("order").as("ord"), col("kind"), col("text"), col("media_ref"))
+      }),
+      // resume/crash-safety under the hard gate: run-1 commits a subset,
+      // run-2 sees the full doc set. The committed union must hold exactly
+      // one span row per doc (no dupes, no gaps), and per-run metrics rows
+      // prove run-2 extracted ONLY the new doc (resume skipped committed
+      // work instead of recomputing it).
+      "x_resume" -> ((s: SparkSession, _: String) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val fs2 = fx(resumeFixtures: _*)
+        val fs1 = fs2.dropRight(1)
+        def docsDf(fs: Seq[PdfBuilder.Fixture]) = sp.createDataset(fs.map(f =>
+          Model.DocRow(f.name, Seq(Model.InSpan("pdf", "", f.name, 0))))).toDF()
+        val media = sp.createDataset(fs2.map(f =>
+          Model.MediaRow(f.name, f.bytes, sizeBucket(f.bytes.length)))).toDF()
+        val tmp = java.nio.file.Files.createTempDirectory("graft-resume").toString
+        ExtractJob.run(docsDf(fs1), media, tmp, "run1")
+        val committed = ExtractJob.run(docsDf(fs2), media, tmp, "run2")
+        val spans = committed.select(col("doc_id"), col("order").as("ord"),
+          col("kind"), col("text"), col("media_ref"))
+        val metrics = sp.read.parquet(s"$tmp/metrics/run=run1", s"$tmp/metrics/run=run2")
+          .select(concat(lit("_metrics_"), col("run_id")).as("doc_id"),
+            col("media_total").cast("int").as("ord"), lit("metrics").as("kind"),
+            lit("").as("text"), lit("").as("media_ref"))
+        spans.unionByName(metrics)
       }))
 
     (extraction ++ relational ++ training).toMap
+  }
+
+  /** run-1 commits all but the last; run-2 adds the last. */
+  private val resumeFixtures = Seq("f01_minimal_flate", "f03_filters", "f09_rotate")
+
+  /** By-construction oracle for x_resume: one span row per doc plus the
+    * per-run metrics rows (run1 extracted 2 media, run2 only the 1 new). */
+  private def resumeOracle: String = {
+    val fs2 = fx(resumeFixtures: _*)
+    val rows = fs2.map(f =>
+      s"(${sqlStr(f.name)}, 0, 'pdf_text', ${sqlStr(f.expected)}, ${sqlStr(f.name)})") ++ Seq(
+      s"('_metrics_run1', ${fs2.size - 1}, 'metrics', '', '')",
+      "('_metrics_run2', 1, 'metrics', '', '')")
+    s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(doc_id, ord, kind, text, media_ref)"
   }
 
   def oracleSql: Map[String, String] = {
@@ -454,12 +516,14 @@ object SparkEntry {
     val sql = Seq(
       "q_agg_pricing" ->
         ("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
-          "SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty, " +
-          "SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents " +
+          // CAST the SUMs back to BIGINT: DuckDB SUM(BIGINT) yields HUGEINT
+          // (int128) and the driver's value hash is type-sensitive.
+          "CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, " +
+          "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents " +
           "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
       "q_join_nation_revenue" ->
         ("SELECT n_name, COUNT(*) AS n_orders, " +
-          "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents " +
+          "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
           "FROM orders JOIN customer ON o_custkey = c_custkey " +
           "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
       "q_window_top_order" ->
@@ -476,7 +540,7 @@ object SparkEntry {
           "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)"),
       "q_events_by_type" ->
         ("SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users, " +
-          "SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_value_milli " +
+          "CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli " +
           "FROM events GROUP BY event_type"),
       "q_dedup_exact" ->
         "SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count FROM documents GROUP BY text",
@@ -536,7 +600,8 @@ object SparkEntry {
       "x_sql_udf" -> sqlUdfOracle,
       "x_stream_extract" -> extractionOracle(fx(streamFixtures: _*)),
       "x_stream_window" -> streamWindowOracle,
-      "x_stream_dedup" -> streamDedupOracle)
+      "x_stream_dedup" -> streamDedupOracle,
+      "x_resume" -> resumeOracle)
     (extraction ++ sql).toMap
   }
 }

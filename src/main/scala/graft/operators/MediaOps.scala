@@ -122,26 +122,37 @@ object MediaOps {
   /** Feature extraction over the media dimension — same hybrid skew
     * routing as ExtractJob.extractMedia: typical payloads decode in the
     * scan stage (narrow, bytes never shuffle); only the oversized tail
-    * (> `heavyBytes`) pays a salted repartition to spread stragglers. */
+    * (size_bucket > `heavyBucket`, i.e. > 2^heavyBucket bytes) pays a
+    * salted repartition to spread stragglers.
+    *
+    * Routing is on the `size_bucket` COLUMN (pushable — parquet row-group
+    * min/max stats prune the heavy branch to almost nothing), NOT on
+    * octet_length(bytes), which would force BOTH branches to re-read every
+    * payload. Tables without the column get it derived here from
+    * octet_length as a fallback, but that predicate cannot push to the
+    * scan — write size_bucket at ingest for large tables (the corpus
+    * tables do; see ExtractJob). */
   def featurize(media: DataFrame, dim: Int = 16, numPartitions: Int = 0,
-                heavyBytes: Long = 4L << 20)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+                heavyBucket: Int = 22 /* 4 MB */)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions else spark.sessionState.conf.numShufflePartitions
-    val work = media.select(col("media_ref"), col("kind"), col("bytes"))
-    def run(ds: Dataset[MediaMeta]): Dataset[MediaFeatures] =
-      ds.mapPartitions { it =>
+    val withBucket =
+      if (media.columns.contains("size_bucket")) media
+      else media.withColumn("size_bucket",
+        ceil(log2(greatest(octet_length(col("bytes")).cast("long"), lit(2L)))).cast("int"))
+    val work = withBucket.select(col("media_ref"), col("kind"), col("bytes"), col("size_bucket"))
+    def run(df: DataFrame): Dataset[MediaFeatures] =
+      df.select(col("media_ref"), col("kind"), col("bytes")).as[MediaMeta].mapPartitions { it =>
         // per-partition reused scratch would live here for a real codec
         it.map { m =>
           val (w, h, feat) = decode(m.kind, m.bytes, dim)
           MediaFeatures(m.media_ref, m.kind, m.bytes.length.toLong, w, h, feat)
         }
       }
-    val small = work.where(octet_length(col("bytes")) <= heavyBytes).as[MediaMeta]
-    val heavy = work.where(octet_length(col("bytes")) > heavyBytes)
+    val small = work.where(col("size_bucket") <= heavyBucket)
+    val heavy = work.where(col("size_bucket") > heavyBucket)
       .withColumn("salt", pmod(xxhash64(col("media_ref")), lit(parts)))
-      .repartition(parts, col("salt"))
-      .drop("salt")
-      .as[MediaMeta]
+      .repartition(parts, col("size_bucket"), col("salt"))
     run(small).union(run(heavy))
   }
 }

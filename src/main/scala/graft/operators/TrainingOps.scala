@@ -396,6 +396,13 @@ object TrainingOps {
       iter += 1
     }
     edges.unpersist(blocking = false)
+    // min-label propagation needs O(component diameter) rounds; hitting the
+    // cap means some long duplicate chain is still split into multiple
+    // cluster ids — silently returning those would LOOK valid, so warn
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dupClusters: not converged after $maxIter rounds — a component's " +
+          "diameter exceeds the cap and its cluster ids are split; raise maxIter")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

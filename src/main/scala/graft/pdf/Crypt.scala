@@ -111,14 +111,27 @@ object Crypt {
   }
   private val tlMemo = ThreadLocal.withInitial[DocKeyMemo](() => new DocKeyMemo)
 
-  private def docKeyAndAlg(opts: Dict): (Array[Byte], Int) = {
+  // Algorithm is memoized eagerly, the document key LAZILY — only when a
+  // RC4/AES branch actually needs it. The reference (decrypt.cc:349)
+  // dispatches on get_algorithm alone and derives the key only inside
+  // create_obj_key: an Identity-algorithm document (e.g. R4 with no /CF)
+  // whose encrypt dict lacks /O, /P or /ID must pass text through, not
+  // throw from an eager key derivation.
+  private def docAlg(opts: Dict): Int = {
     val m = tlMemo.get()
     if (m.opts ne opts) {
-      m.key = getDecryptionKey(opts)
       m.alg = getAlgorithm(opts)
+      m.key = null
       m.opts = opts
     }
-    (m.key, m.alg)
+    m.alg
+  }
+
+  private def docKeyAndAlg(opts: Dict): (Array[Byte], Int) = {
+    val alg = docAlg(opts)
+    val m = tlMemo.get()
+    if (m.key == null) m.key = getDecryptionKey(opts)
+    (m.key, alg)
   }
 
   /** decrypt.cc:241-271 — per-object key: docKey ∥ objnum ∥ gen (+`sAlT`). */
@@ -165,7 +178,7 @@ object Crypt {
   /** decrypt.cc:346-364 */
   def decrypt(n: Long, g: Long, in: String, opts: Dict): String = {
     if (opts.isEmpty) return in
-    docKeyAndAlg(opts)._2 match {
+    docAlg(opts) match {
       case ALG_RC4V1 | ALG_RC4V2 => decryptRc4(n, g, in, opts)
       case ALG_AESV2 => decryptAesV2(n, g, in, opts)
       case ALG_IDENTITY => in

@@ -29,32 +29,90 @@ object StreamingOps {
     * by xxhash64(text) — 8-byte keys, NOT the text itself, so the
     * checkpointed state store holds one long + one bit per distinct
     * document instead of the corpus (collision-tolerant, the same
-    * trade-off as the batch hash-dedup). A key's first batch emits its
-    * minimal doc_id; every later occurrence (same batch or any later
-    * micro-batch) is suppressed; a restart resumes dedup exactly where it
-    * left off. */
-  def dedupByTextStream(docs: Dataset[TimedDoc]): Dataset[TimedDoc] = {
+    * trade-off as the batch hash-dedup). A restart resumes dedup exactly
+    * where it left off.
+    *
+    * CONTRACT — first-seen-wins: the first micro-batch that sees a text
+    * hash emits that batch's minimal doc_id; every later occurrence is
+    * suppressed, even one with a smaller doc_id (Append mode cannot
+    * retract an emitted row). This differs from the batch dedup's global
+    * min-doc_id exactly when a smaller id arrives in a LATER batch — the
+    * driver-gated x_stream_dedup oracle encodes the order-aware
+    * expectation.
+    *
+    * `retention` (e.g. Some("30 minutes")) bounds the state store for a
+    * continuously-fed pipeline: a key idle longer than the TTL *in event
+    * time* is dropped (its next occurrence is re-admitted as new). The TTL
+    * is event-time — a watermark + EventTimeTimeout — NOT processing-time:
+    * processing-time timeouts keep the micro-batch engine spinning empty
+    * batches under Trigger.AvailableNow (the query never terminates), and
+    * event-time expiry is deterministic under replay. State stores the
+    * key's newest event-time (8 bytes); expiry is enforced both by fired
+    * timeouts (keys idle across later batches) and lazily on arrival (a
+    * key whose stored time has fallen behind watermark−TTL re-admits even
+    * if its timeout never got a batch to fire in). Default None = keep
+    * state forever — exact dedup for bounded backfills. */
+  def dedupByTextStream(docs: Dataset[TimedDoc],
+                        retention: Option[String] = None): Dataset[TimedDoc] = {
     import docs.sparkSession.implicits._
-    docs.groupByKey(d => org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+    val retMs = retention.map(parseDurationMs)
+    val in = retention.map(r => docs.withWatermark("event_time", r)).getOrElse(docs)
+    val timeoutConf =
+      if (retention.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    in.groupByKey(d => org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
         org.apache.spark.unsafe.types.UTF8String.fromString(d.text),
         org.apache.spark.sql.types.StringType, 42L))
-      .flatMapGroupsWithState[Boolean, TimedDoc](OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[TimedDoc], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
-            state.update(true)
-            Iterator.single(rows.minBy(_.doc_id))
+      .flatMapGroupsWithState[Long, TimedDoc](OutputMode.Append, timeoutConf) {
+        (_: Long, rows: Iterator[TimedDoc], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle past the TTL: forget the key
+            Iterator.empty
+          } else {
+            val batch = rows.toArray // one key's rows within one batch
+            val newest = batch.iterator.map(_.event_time.getTime).max
+            def arm(last: Long): Unit = retMs.foreach { r =>
+              // deadline must sit above the current watermark or Spark rejects it
+              state.setTimeoutTimestamp(math.max(last + r, state.getCurrentWatermarkMs() + 1))
+            }
+            val expired = retMs.exists(r =>
+              state.exists && state.get + r <= state.getCurrentWatermarkMs())
+            if (state.exists && !expired) {
+              val last = math.max(state.get, newest)
+              state.update(last)
+              arm(last) // sliding TTL re-arm
+              Iterator.empty
+            } else {
+              state.update(newest)
+              arm(newest)
+              Iterator.single(batch.minBy(_.doc_id))
+            }
           }
       }
   }
 
+  /** "N seconds|minutes|hours|days" → milliseconds (watermark-delay syntax). */
+  private def parseDurationMs(s: String): Long = {
+    val m = "(\\d+)\\s*(millisecond|second|minute|hour|day)s?".r.findFirstMatchIn(s.trim)
+      .getOrElse(throw new IllegalArgumentException(s"unparseable retention: $s"))
+    val unit = m.group(2) match {
+      case "millisecond" => 1L
+      case "second" => 1000L
+      case "minute" => 60000L
+      case "hour" => 3600000L
+      case "day" => 86400000L
+    }
+    m.group(1).toLong * unit
+  }
+
   /** Run the streaming dedup over a file-source directory with an
     * AvailableNow trigger; returns after the sink is complete. */
-  def runDedupStream(spark: SparkSession, inDir: String, outDir: String): Unit = {
+  def runDedupStream(spark: SparkSession, inDir: String, outDir: String,
+                     retention: Option[String] = None): Unit = {
     import spark.implicits._
     val schema = org.apache.spark.sql.Encoders.product[TimedDoc].schema
     val in = spark.readStream.schema(schema).parquet(inDir).as[TimedDoc]
-    val q: StreamingQuery = dedupByTextStream(in).writeStream
+    val q: StreamingQuery = dedupByTextStream(in, retention).writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())

@@ -72,6 +72,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan(df).contains("BroadcastNestedLoopJoin") || plan(df).contains("BroadcastHashJoin"), plan(df))
   }
 
+  test("media featurize routes on the pushable size_bucket column, not octet_length") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan-media").toString + "/media"
+    val rows = Seq(("m1", "application/pdf", Array.fill[Byte](64)(1), 6),
+      ("m2", "application/pdf", Array.fill[Byte](256)(2), 8))
+    s.createDataset(rows).toDF("media_ref", "kind", "bytes", "size_bucket").write.parquet(dir)
+    val df = operators.MediaOps.featurize(s.read.parquet(dir), dim = 4, heavyBucket = 6)
+    val p = df.queryExecution.executedPlan.toString
+    // both branch predicates push to the parquet scan as data-column filters
+    assert(p.contains("LessThanOrEqual(size_bucket,6)"), p)
+    assert(p.contains("GreaterThan(size_bucket,6)"), p)
+    // the payload column is never re-read for routing
+    assert(!p.contains("octet_length"), p)
+  }
+
   test("extraction pipeline: single exchange per side, salted repartition present") {
     implicit val s: SparkSession = spark
     import s.implicits._

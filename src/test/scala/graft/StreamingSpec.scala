@@ -41,6 +41,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(1L, 2L, 11L), s"got ${got.toSeq}")
   }
 
+  test("streaming dedup event-time TTL: idle keys expire and re-admit; fresh keys still dedup") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingOps
+    import StreamingOps.TimedDoc
+    def ts(m: Int) = new java.sql.Timestamp(1767225600000L + m * 60000L)
+    val base = java.nio.file.Files.createTempDirectory("sdedup-ttl").toString
+    val ret = Some("5 minutes")
+    s.createDataset(Seq(TimedDoc(1, "aaa", "w", ts(0)))).toDF()
+      .write.mode("append").parquet(s"$base/in")
+    StreamingOps.runDedupStream(s, s"$base/in", s"$base/out", ret)
+    // wave 2 advances the watermark to ts(15): aaa (last seen ts(0)) is now
+    // idle past the 5-minute TTL
+    s.createDataset(Seq(TimedDoc(2, "bbb", "w", ts(20)))).toDF()
+      .write.mode("append").parquet(s"$base/in")
+    StreamingOps.runDedupStream(s, s"$base/in", s"$base/out", ret)
+    // aaa re-appears after expiry: re-admitted (id 9 emitted); bbb's dup
+    // arrives inside its TTL window: suppressed
+    s.createDataset(Seq(TimedDoc(9, "aaa", "w", ts(30)), TimedDoc(10, "bbb", "w", ts(21)))).toDF()
+      .write.mode("append").parquet(s"$base/in")
+    StreamingOps.runDedupStream(s, s"$base/in", s"$base/out", ret)
+    val got = s.read.parquet(s"$base/out/deduped").select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 9L), s"got ${got.toSeq}")
+  }
+
   test("watermarked windowed metrics aggregate by event-time window") {
     val s = spark
     import s.implicits._

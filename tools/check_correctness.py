@@ -2,7 +2,14 @@
 """Local stand-in for the driver's correctness gate: runs each oracle_sql.json
 entry in DuckDB against the sf parquet tables and compares with the Spark
 parquet dump (rows / column-name set / exact sorted-values equality, doubles
-compared bitwise like a value hash would)."""
+compared bitwise like a value hash would).
+
+Type-faithful: also compares DuckDB-level column TYPES (spark-dump relation
+vs oracle relation). The driver hashes Arrow-level values, so e.g. DuckDB
+SUM(BIGINT) -> HUGEINT vs Spark BIGINT is a real driver failure even though
+Python ints compare equal — round 2 shipped 3 red rows invisible to the old
+value-only compare. Run at sf0.001 AND sf0.01 (and sf0.1 when touching
+perf-sensitive oracles) before committing oracle changes."""
 import duckdb, json, struct, sys, glob, os
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
@@ -41,6 +48,14 @@ for name in sorted(oracle):
     scols, ocols = sorted(sdf.columns), sorted(odf.columns)
     if scols != ocols:
         print(f"{name}: SCHEMA cols {scols} vs {ocols}")
+        fails.append(name)
+        continue
+    stypes = dict(zip(sdf.columns, (str(t) for t in sdf.types)))
+    otypes = dict(zip(odf.columns, (str(t) for t in odf.types)))
+    badtypes = [(c, stypes[c], otypes[c]) for c in scols if stypes[c] != otypes[c]]
+    if badtypes:
+        for c, st, ot in badtypes:
+            print(f"{name}: TYPE mismatch col {c}: spark={st} oracle={ot}")
         fails.append(name)
         continue
     srows = sorted(tuple(canon(v) for v in r) for r in
