@@ -151,13 +151,40 @@ object Bench {
     val kMedia = graft.testkit.KernelBench.genMedia(3000)
     graft.testkit.KernelBench.run(kMedia.take(500), 4) // JIT warm
     val kernelPairs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    val schedule = Seq(Seq(4, 16, 32), Seq(4, 16), Seq(4, 16), Seq(4, 16, 32))
-    val results = schedule.flatMap { group =>
-      val rs = group.map(c => c -> measureForked(c, inDir))
+    // 5 (4,16) pairs for a stable median; 3 separate 32-core rounds so the
+    // informational peak has three window samples (this host's throttle
+    // windows can sink any single round by 2-3x)
+    val schedule = Seq(Seq(4, 16, 32), Seq(4, 16), Seq(4, 16, 32), Seq(4, 16), Seq(4, 16, 32))
+    // WINDOW PROBES: a ~0.35 s single-thread kernel run is a direct sensor
+    // of the host's CPU-throttle state (clean ≈ 700-780 media/s here,
+    // throttled windows halve it). One probe runs before every child and
+    // once after the last; a (4,16) pair is accepted as window-clean only
+    // if the three probes bracketing it all sit within 85% of the best
+    // probe seen. Crucially the criterion never looks at the pair's own
+    // ratio — selection is outcome-INDEPENDENT, so unlike filtering on the
+    // ratios themselves it cannot bias the estimate in either direction.
+    val probeMedia = kMedia.take(250)
+    val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def probe(): Unit = probes += graft.testkit.KernelBench.run(probeMedia, 1)
+    val childCpus = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val childRes = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    schedule.foreach { group =>
+      group.foreach { c =>
+        probe()
+        childCpus += c
+        childRes += measureForked(c, inDir)
+      }
       kernelPairs += ((graft.testkit.KernelBench.run(kMedia, 4),
         graft.testkit.KernelBench.run(kMedia, 16)))
-      rs
     }
+    probe() // closing bracket for the last child
+    // three extra kernel reps (~4 s each): more window samples for the
+    // kernel clean-pair selection below
+    (1 to 3).foreach { _ =>
+      kernelPairs += ((graft.testkit.KernelBench.run(kMedia, 4),
+        graft.testkit.KernelBench.run(kMedia, 16)))
+    }
+    val results: Seq[(Int, (Long, Double))] = childCpus.toSeq.zip(childRes.toSeq)
     def best(cpus: Int): (Long, Double) = {
       val rs = results.collect { case (`cpus`, r) if !r._2.isNaN => r }
       (rs.head._1, rs.map(_._2).min)
@@ -166,29 +193,49 @@ object Bench {
     val (_, sec16) = best(16)
     val (n32, sec32) = best(32)
 
-    // PAIRED efficiency: each adjacent (4,16) schedule pair ran back-to-back
-    // inside one noise window, so its ratio is internally consistent. The
-    // MEDIAN of the paired rounds is the headline — max() over noisy samples
-    // cherry-picks upward (r2 shipped a physically impossible 3.03 that way),
-    // and the min-per-level ratio mixes windows (biased DOWN: a throttled
-    // window still delivers 4 quiet cores but rarely 16). A paired ratio
-    // > ~1.05 is physically impossible for this job (super-linear scaling),
-    // so such pairs are discarded as noise before the median; the headline
-    // is additionally clamped to 1.0 and raw pair times are emitted for
-    // audit.
-    val jobPairs = results.sliding(2).collect {
-      case Seq((4, (_, a)), (16, (_, b))) if !a.isNaN && !b.isNaN => (a, b)
-    }.toSeq
+    // PAIRED efficiency: each adjacent (4,16) schedule pair ran back-to-back,
+    // usually inside one noise window, so its ratio tends to be internally
+    // consistent. The MEDIAN over ALL pairs is the headline — max() over
+    // noisy samples cherry-picks upward (r2 shipped a physically impossible
+    // 3.03 that way), the min-per-level ratio mixes windows, and
+    // pre-filtering only the >1.0 pairs would be asymmetric (a window flip
+    // mid-pair corrupts ratios in BOTH directions; discarding just the
+    // upward ones biases the median down — observed in a round-3 dry run:
+    // filtered median 0.57 vs all-pair median 0.86). The median absorbs
+    // corrupted pairs on either side; the headline is clamped to 1.0 with
+    // the raw value and every pair's times emitted for audit.
     def median(xs: Seq[Double]): Double =
       if (xs.isEmpty) Double.NaN
       else { val s = xs.sorted; (s((s.size - 1) / 2) + s(s.size / 2)) / 2.0 }
-    val jobEffs = jobPairs.map { case (a, b) => a / (4.0 * b) }
-    val jobEffsSane = jobEffs.filter(_ <= 1.05)
-    val pairedMedianEff = median(if (jobEffsSane.nonEmpty) jobEffsSane else jobEffs)
 
+    // pairs with their bracketing window probes: child k is bracketed by
+    // probes(k) and probes(k+1), so a (k, k+1) pair spans probes k..k+2
+    val probeRef = probes.max
+    val pairEntries = (0 until results.size - 1).collect {
+      case k if childCpus(k) == 4 && childCpus(k + 1) == 16 &&
+        !childRes(k)._2.isNaN && !childRes(k + 1)._2.isNaN =>
+        val clean = Seq(probes(k), probes(k + 1), probes(k + 2)).min >= 0.85 * probeRef
+        (childRes(k)._2, childRes(k + 1)._2, clean)
+    }.toSeq
+    val jobPairs = pairEntries.map(p => (p._1, p._2))
+    val jobEffs = jobPairs.map { case (a, b) => a / (4.0 * b) }
+    val pairedMedianEff = median(jobEffs)
+    val cleanEffs = pairEntries.collect { case (a, b, true) => a / (4.0 * b) }
+    val jobCleanN = cleanEffs.size
+    val jobCleanEff = median(if (cleanEffs.nonEmpty) cleanEffs else jobEffs)
+
+    // kernel pairs: both halves run back-to-back in ~4 s, so intra-pair
+    // window flips are rare; a symmetric within-15%-of-best-per-level
+    // filter suffices (a throttled k4 inflates the ratio and is excluded
+    // exactly like a throttled k16, which deflates it)
     val kernelEffs = kernelPairs.toSeq.map { case (k4, k16) => k16 / (4.0 * k4) }
-    val kernelEffsSane = kernelEffs.filter(_ <= 1.05)
-    val kernelEff = median(if (kernelEffsSane.nonEmpty) kernelEffsSane else kernelEffs)
+    val kBest4 = kernelPairs.map(_._1).max
+    val kBest16 = kernelPairs.map(_._2).max
+    val kernelClean = kernelPairs.toSeq.collect {
+      case (k4, k16) if k4 >= kBest4 / 1.15 && k16 >= kBest16 / 1.15 => k16 / (4.0 * k4)
+    }
+    val kernelCleanN = kernelClean.size
+    val kernelEff = median(if (kernelClean.nonEmpty) kernelClean else kernelEffs)
     val k4 = kernelPairs.map(_._1).max
     val k16 = kernelPairs.map(_._2).max
     val dps4 = nDocs / sec4
@@ -215,19 +262,28 @@ object Bench {
       "extract_span_rows" -> n32.toDouble,
       "extract_docs" -> nDocs.toDouble,
       "extract_scaling_efficiency_paired_median" -> pairedMedianEff,
+      "extract_scaling_efficiency_clean_pairs" -> jobCleanEff,
+      "extract_clean_pair_count" -> jobCleanN.toDouble,
       "kernel_media_per_sec_4t" -> k4,
       "kernel_media_per_sec_16t" -> k16,
+      "kernel_clean_pair_count" -> kernelCleanN.toDouble,
       "kernel_scaling_efficiency_4_to_16" -> kernelEff)
     val qs = (queryTimes ++ extras)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
-    // headline efficiency = median of time-paired (4,16) rounds, clamped to
-    // [0,1]; raw value + every pair's (t4,t16)/(k4,k16) emitted for audit.
-    val headlineRaw = if (!pairedMedianEff.isNaN) pairedMedianEff else efficiency
+    // headline efficiency = median over the clean (window-uncorrupted)
+    // time-paired rounds, clamped to [0,1]; raw value, the all-pair median
+    // and every pair's (t4,t16)/(k4,k16) emitted for audit.
+    val headlineRaw =
+      if (!jobCleanEff.isNaN) jobCleanEff
+      else if (!pairedMedianEff.isNaN) pairedMedianEff
+      else efficiency
     val headlineEff = math.min(1.0, headlineRaw)
     val outOfRange = headlineRaw > 1.0
     def pairsJson(ps: Seq[(Double, Double)]): String =
       ps.map { case (a, b) => f"[$a%.4f,$b%.4f]" }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec_local32":$dps32,"scaling_efficiency":$headlineEff,"scaling_efficiency_raw":$headlineRaw,"scaling_out_of_range":$outOfRange,"scaling_pairs_sec_4_16":${pairsJson(jobPairs)},"kernel_pairs_media_per_sec_4_16":${pairsJson(kernelPairs.toSeq)}}""")
+    val probesJson = probes.map(p => f"$p%.1f").mkString("[", ",", "]")
+    val cleanJson = pairEntries.map(_._3).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec_local32":$dps32,"scaling_efficiency":$headlineEff,"scaling_efficiency_raw":$headlineRaw,"scaling_out_of_range":$outOfRange,"scaling_pairs_sec_4_16":${pairsJson(jobPairs)},"scaling_pairs_window_clean":$cleanJson,"window_probes_media_per_sec":$probesJson,"kernel_pairs_media_per_sec_4_16":${pairsJson(kernelPairs.toSeq)}}""")
   }
 }

@@ -139,7 +139,10 @@ object Layout {
   /** pages_extractor.cc:354-382 — join a line's texts; insert ' ' on word gaps.
     * Deliberately does NOT re-sort by x (reference comment at 360-369). */
   private def mergeChars(chars: ArrayBuffer[TextChunk]): Unit = {
-    chars.foreach { line =>
+    var li = 0
+    while (li < chars.length) {
+      val line = chars(li)
+      li += 1
       if (line.texts.size == 1) {
         // single-text line (the norm): reuse the string, just rebase the
         // coordinates onto the line box
@@ -290,11 +293,16 @@ object Layout {
     val pos2 = pos(groups(obj2))
     val o1 = if (pos1 <= pos2) obj1 else obj2
     val o2 = if (pos1 <= pos2) obj2 else obj1
-    groups(o2).texts.foreach { t =>
-      if (t.coordinates.x0 < groups(o1).coordinates.x0) groups(o1).coordinates.x0 = t.coordinates.x0
-      if (t.coordinates.x1 > groups(o1).coordinates.x1) groups(o1).coordinates.x1 = t.coordinates.x1
-      if (t.coordinates.y0 < groups(o1).coordinates.y0) groups(o1).coordinates.y0 = t.coordinates.y0
-      if (t.coordinates.y1 > groups(o1).coordinates.y1) groups(o1).coordinates.y1 = t.coordinates.y1
+    val dstC = groups(o1).coordinates
+    val srcTexts = groups(o2).texts
+    var ti = 0
+    while (ti < srcTexts.length) {
+      val c = srcTexts(ti).coordinates
+      if (c.x0 < dstC.x0) dstC.x0 = c.x0
+      if (c.x1 > dstC.x1) dstC.x1 = c.x1
+      if (c.y0 < dstC.y0) dstC.y0 = c.y0
+      if (c.y1 > dstC.y1) dstC.y1 = c.y1
+      ti += 1
     }
     groups(o1).texts ++= groups(o2).texts
     groups(o2).texts = ArrayBuffer.empty
@@ -381,18 +389,57 @@ object Layout {
   // thread and only ever grow (makePlane is not reentrant)
   private val tlDists = ThreadLocal.withInitial[DistList](() => new DistList(4096))
 
+  /** Flat per-box mirror of (coords, area, isEmpty) for the O(n²) distance
+    * loops: getDist on TextChunk→Coords objects is two dependent pointer
+    * loads per operand per pair; on parallel primitive arrays it's
+    * sequential float loads, and the per-box area (invariant between
+    * merges) is computed once per box instead of once per pair. Values are
+    * bit-identical to the object path — same expressions over the same
+    * floats — merged groups are re-`load`ed after each createGroup. */
+  private final class BoxCache {
+    var x0 = new Array[Float](512); var y0 = new Array[Float](512)
+    var x1 = new Array[Float](512); var y1 = new Array[Float](512)
+    var area = new Array[Float](512)
+    var dead = new Array[Boolean](512)
+    def ensure(n: Int): Unit = if (n > x0.length) {
+      var c = x0.length
+      while (c < n) c *= 2
+      x0 = new Array[Float](c); y0 = new Array[Float](c); x1 = new Array[Float](c)
+      y1 = new Array[Float](c); area = new Array[Float](c); dead = new Array[Boolean](c)
+    }
+    def load(i: Int, b: TextChunk): Unit = {
+      val c = b.coordinates
+      x0(i) = c.x0; y0(i) = c.y0; x1(i) = c.x1; y1(i) = c.y1
+      area(i) = (c.x1 - c.x0) * (c.y1 - c.y0)
+      dead(i) = b.isEmpty
+    }
+    /** pages_extractor.cc:392-400 — union area minus areas, flat. */
+    def dist(i: Int, j: Int): Float = {
+      val ux0 = math.min(x0(i), x0(j))
+      val uy0 = math.min(y0(i), y0(j))
+      val ux1 = math.max(x1(i), x1(j))
+      val uy1 = math.max(y1(i), y1(j))
+      (ux1 - ux0) * (uy1 - uy0) - area(i) - area(j)
+    }
+  }
+  private val tlBoxes = ThreadLocal.withInitial[BoxCache](() => new BoxCache)
+
   /** pages_extractor.cc:414-452 — greedy agglomerative clustering, capped. */
   private def makePlane(boxes: ArrayBuffer[TextChunk]): TextChunk = {
     if (boxes.isEmpty) return new TextChunk
     if (boxes.size > MAX_BOXES) return boxesAsIs(boxes)
     val n = boxes.size
+    val bc = tlBoxes.get()
+    bc.ensure(n)
     val dists = tlDists.get()
     dists.size = 0
     var i = 0
+    while (i < n) { bc.load(i, boxes(i)); i += 1 }
+    i = 0
     while (i < n) {
       var j = i + 1
       while (j < n) {
-        dists.add(getDist(boxes(i), boxes(j)), i, j)
+        dists.add(bc.dist(i, j), i, j)
         j += 1
       }
       i += 1
@@ -406,9 +453,11 @@ object Layout {
         val d2 = dists.o2(m)
         dists.removeTouching(d1, d2)
         val group = createGroup(boxes, d1, d2)
+        bc.load(group, boxes(group))
+        bc.dead(if (group == d1) d2 else d1) = true
         var b = 0
-        while (b < boxes.size) {
-          if (b != group && !boxes(b).isEmpty) dists.add(getDist(boxes(group), boxes(b)), group, b)
+        while (b < n) {
+          if (b != group && !bc.dead(b)) dists.add(bc.dist(group, b), group, b)
           b += 1
         }
       }
