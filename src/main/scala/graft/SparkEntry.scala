@@ -388,6 +388,18 @@ object SparkEntry {
       "q_sample" -> ((s: SparkSession, d: String) =>
         TrainingOps.deterministicSample(t(s, d, "documents"), "doc_id", "40000000")
           .select(col("doc_id"))),
+      // canonical representative per dup cluster (longest text, tie→min id)
+      "q_cluster_reps" -> ((s: SparkSession, d: String) =>
+        TrainingOps.clusterRepresentatives(t(s, d, "documents"),
+          TrainingOps.dupClusters(
+            TrainingOps.minhashLshPairs(t(s, d, "documents")).where(col("est_jaccard") >= 0.5)))),
+      // per-language deterministic keep-rates (training-mix rebalancing)
+      "q_stratified_sample" -> ((s: SparkSession, d: String) =>
+        TrainingOps.stratifiedSample(t(s, d, "documents"), "lang",
+          Seq("en" -> "80000000", "de" -> "40000000"), "20000000")
+          .select(col("doc_id"), col("lang"))),
+      "q_word_diversity" -> ((s: SparkSession, d: String) =>
+        TrainingOps.wordDiversity(t(s, d, "documents"))),
       "q_vocab_topk" -> ((s: SparkSession, d: String) =>
         TrainingOps.vocabTopK(t(s, d, "documents"), k = 100)),
       "q_normalize" -> ((s: SparkSession, d: String) =>
@@ -579,6 +591,26 @@ object SparkEntry {
             |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin),
       "q_sample" ->
         "SELECT doc_id FROM documents WHERE substr(md5(doc_id::VARCHAR || ':s42'), 1, 8) < '40000000'",
+      // same transitive closure as q_dup_clusters, then the per-cluster
+      // argmax (longest text, tie to min doc_id) via ROW_NUMBER
+      "q_cluster_reps" ->
+        (s"""WITH RECURSIVE ${shingleCte.stripPrefix("WITH ").stripSuffix("\n")},
+            |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $jaccardExpr >= 0.5),
+            |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+            |reach AS (SELECT a AS id, a AS r FROM edges UNION SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+            |clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+            |j AS (SELECT c.cluster_id, c.doc_id, LENGTH(d.text)::BIGINT AS n_chars FROM clusters c JOIN documents d USING (doc_id))
+            |SELECT cluster_id, doc_id AS rep_id, n_chars FROM
+            |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn FROM j) t
+            |WHERE rn = 1""".stripMargin),
+      "q_stratified_sample" ->
+        ("SELECT doc_id, lang FROM documents WHERE substr(md5(doc_id::VARCHAR || ':s42'), 1, 8) < " +
+          "CASE WHEN lang = 'en' THEN '80000000' WHEN lang = 'de' THEN '40000000' ELSE '20000000' END"),
+      "q_word_diversity" ->
+        ("SELECT doc_id, len(list_distinct(string_split(lower(text), ' ')))::BIGINT AS n_distinct, " +
+          "len(string_split(lower(text), ' '))::BIGINT AS n_words, " +
+          "len(list_distinct(string_split(lower(text), ' ')))::DOUBLE / len(string_split(lower(text), ' ')) AS diversity " +
+          "FROM documents"),
       "q_vocab_topk" ->
         ("SELECT term, n FROM (SELECT term, count(*)::BIGINT AS n FROM " +
           "(SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents) t0 " +

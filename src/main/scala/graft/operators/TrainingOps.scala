@@ -511,4 +511,44 @@ object TrainingOps {
         }
       }.toDF("doc_id", "fingerprint")
   }
+
+  /** Canonical-document selection: per dup cluster keep the "best" doc
+    * (longest text, ties to the smallest doc_id) — the standard final step
+    * after [[dupClusters]] (dedup keeps one representative, not an
+    * arbitrary member). One shuffle on cluster_id; near-dup clusters are
+    * small by construction (a mega-cluster upstream is already capped by
+    * the LSH maxBucket guard), so the per-key window state is bounded. */
+  def clusterRepresentatives(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val sized = clusters.join(
+      docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars")), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("n_chars").desc, col("doc_id"))
+    sized.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_id"), col("n_chars"))
+  }
+
+  /** Stratified deterministic sampling: per-stratum keep-rates (8-hex-digit
+    * MD5-prefix thresholds, same scheme as [[deterministicSample]]) — the
+    * language/source rebalancing step of a training-data mix. Pure codegen
+    * (a CASE over the stratum column + one MD5); content-addressed, so
+    * reruns and repartitions keep the same rows. */
+  def stratifiedSample(docs: DataFrame, strataCol: String,
+                       ratesHex: Seq[(String, String)], defaultRateHex: String,
+                       salt: String = "s42"): DataFrame = {
+    val rate = ratesHex.foldRight(lit(defaultRateHex): Column) { case ((k, v), acc) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.where(
+      substring(md5(concat(col("doc_id").cast("string"), lit(":" + salt)).cast("binary")), 1, 8) < rate)
+  }
+
+  /** Word-diversity quality signal (Gopher-style repetition filter input):
+    * distinct-token / total-token ratio per doc. Pure expressions. */
+  def wordDiversity(docs: DataFrame): DataFrame = {
+    val words = split(lower(col("text")), " ")
+    docs.select(col("doc_id"),
+      size(array_distinct(words)).cast("long").as("n_distinct"),
+      size(words).cast("long").as("n_words"),
+      (size(array_distinct(words)).cast("double") / size(words)).as("diversity"))
+  }
 }

@@ -117,4 +117,40 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = "abc".foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 2147483647L)
     assert(fp == want)
   }
+
+  test("cluster representatives: longest text wins, ties to min doc_id") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "aa"), (2L, "aaaa"), (3L, "bb"), (4L, "bb"), (5L, "solo"))
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val got = operators.TrainingOps.clusterRepresentatives(docs, clusters)
+      .select("cluster_id", "rep_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (3L, 3L), (5L, 5L)), s"got $got") // 2 longest; 3 ties->min; 5 solo
+  }
+
+  test("stratified sample: per-stratum rates produce proportional, deterministic keeps") {
+    val sp = spark; import sp.implicits._
+    val docs = (0 until 2000).map(i => (i.toLong, s"t$i", if (i % 2 == 0) "en" else "zz"))
+      .toDF("doc_id", "text", "lang")
+    val s1 = operators.TrainingOps.stratifiedSample(docs, "lang",
+      Seq("en" -> "80000000"), "10000000")
+    val byLang = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // en keep-rate = 1/2, zz = 1/16 — binomial bounds far looser than 3 sigma
+    assert(byLang("en") > 350 && byLang("en") < 650, s"en=${byLang.get("en")}")
+    assert(byLang.getOrElse("zz", 0L) < 160, s"zz=${byLang.get("zz")}")
+    // deterministic: rerun yields the identical row set
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      operators.TrainingOps.stratifiedSample(docs, "lang", Seq("en" -> "80000000"), "10000000")
+        .select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("word diversity: distinct/total token ratio") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "x y z")).toDF("doc_id", "text")
+    val got = operators.TrainingOps.wordDiversity(docs)
+      .select("doc_id", "n_distinct", "n_words", "diversity")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 4L, 0.5), (2L, 3L, 3L, 1.0)), s"got $got")
+  }
 }
