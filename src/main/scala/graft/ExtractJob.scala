@@ -180,4 +180,39 @@ object ExtractJob {
     Files.move(tmp, committedFile, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     spark.read.parquet(allRuns.map(spansDir): _*)
   }
+
+  /** Snapshot-expiry housekeeping (the Iceberg `expire_snapshots` /
+    * `remove_orphan_files` analogue for the emulated commit protocol):
+    * deletes `run=<id>` directories under spans_out/lineage/metrics that
+    * are NOT listed in the `_committed` manifest — the debris a crashed
+    * run leaves behind. Committed runs are never touched. Returns the
+    * deleted run ids. Safe to call concurrently with readers: orphan dirs
+    * are by definition invisible to them. */
+  def vacuumRuns(outDir: String): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val committedFile = Paths.get(s"$outDir/_committed")
+    val committed: Set[String] =
+      if (Files.exists(committedFile))
+        new String(Files.readAllBytes(committedFile), "UTF-8").split("\n").filter(_.nonEmpty).toSet
+      else Set.empty
+    def deleteRecursively(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+      Files.deleteIfExists(p)
+    }
+    val removed = Seq.newBuilder[String]
+    for (sub <- Seq("spans_out", "lineage", "metrics")) {
+      val root = Paths.get(s"$outDir/$sub")
+      if (Files.isDirectory(root)) {
+        Files.list(root).iterator().asScala.toSeq.foreach { d =>
+          val name = d.getFileName.toString
+          if (name.startsWith("run=") && !committed.contains(name.stripPrefix("run="))) {
+            deleteRecursively(d)
+            removed += name.stripPrefix("run=")
+          }
+        }
+      }
+    }
+    removed.result().distinct
+  }
 }

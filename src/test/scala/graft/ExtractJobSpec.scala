@@ -67,6 +67,26 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(secondHalf.nonEmpty)
   }
 
+  test("vacuumRuns deletes only uncommitted (crashed) run dirs") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val built = Corpus.build(nDocs = 8, heavyEvery = 1000)
+    val media = s.createDataset(built.media).toDF()
+    val out = tmpDir()
+    ExtractJob.run(s.createDataset(built.docs).toDF(), media, out, runId = "good")
+    // simulate a crash: partial files in run dirs never added to _committed
+    val orphan = new java.io.File(s"$out/spans_out/run=crashed")
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(orphan.toPath.resolve("part-0.parquet"), "partial")
+    new java.io.File(s"$out/lineage/run=crashed").mkdirs()
+    val removed = ExtractJob.vacuumRuns(out)
+    assert(removed == Seq("crashed"), s"removed $removed")
+    assert(!orphan.exists())
+    assert(new java.io.File(s"$out/spans_out/run=good").exists()) // committed untouched
+    // committed output still reads back complete
+    assert(s.read.parquet(s"$out/spans_out/run=good").count() == built.expected.size)
+  }
+
   test("hybrid skew routing: heavy path shuffles, small path doesn't, same results") {
     implicit val s: SparkSession = spark
     import s.implicits._
