@@ -400,6 +400,9 @@ object SparkEntry {
           .select(col("doc_id"), col("lang"))),
       "q_word_diversity" -> ((s: SparkSession, d: String) =>
         TrainingOps.wordDiversity(t(s, d, "documents"))),
+      // sequence packing: running-token-total chunk assignment per source
+      "q_token_chunks" -> ((s: SparkSession, d: String) =>
+        TrainingOps.tokenBudgetChunks(t(s, d, "documents"), budget = 256)),
       "q_vocab_topk" -> ((s: SparkSession, d: String) =>
         TrainingOps.vocabTopK(t(s, d, "documents"), k = 100)),
       "q_normalize" -> ((s: SparkSession, d: String) =>
@@ -611,6 +614,10 @@ object SparkEntry {
           "len(string_split(lower(text), ' '))::BIGINT AS n_words, " +
           "len(list_distinct(string_split(lower(text), ' ')))::DOUBLE / len(string_split(lower(text), ' ')) AS diversity " +
           "FROM documents"),
+      "q_token_chunks" ->
+        ("SELECT doc_id, source, nt AS n_tokens, " +
+          "CAST(FLOOR(COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256) AS BIGINT) AS chunk_id " +
+          "FROM (SELECT doc_id, source, CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS nt FROM documents) t"),
       "q_vocab_topk" ->
         ("SELECT term, n FROM (SELECT term, count(*)::BIGINT AS n FROM " +
           "(SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents) t0 " +

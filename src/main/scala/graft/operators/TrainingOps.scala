@@ -551,4 +551,22 @@ object TrainingOps {
       size(words).cast("long").as("n_words"),
       (size(array_distinct(words)).cast("double") / size(words)).as("diversity"))
   }
+
+  /** Sequence packing for training batches: assign each doc a chunk_id so
+    * consecutive docs (by doc_id, within a `source` stratum) fill a token
+    * budget — the standard pre-tokenization packing step. chunk_id =
+    * floor(running-token-total-before-this-doc / budget), a cumulative-sum
+    * window WITHIN each source partition: the window key is the stratum,
+    * NOT a global order, so at 100 TB this is one shuffle on `source` and
+    * per-key sequential scans — a global ORDER BY (single reducer) never
+    * appears in the plan. Deterministic: (source, doc_id) is a total order
+    * per stratum. */
+  def tokenBudgetChunks(docs: DataFrame, budget: Long = 2048): DataFrame = {
+    val nTokens = (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("source"), nTokens.as("n_tokens"))
+      .withColumn("chunk_id", floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget))
+  }
 }

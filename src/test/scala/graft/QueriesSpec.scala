@@ -145,6 +145,17 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
         .select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("token-budget chunks: running total packs within source, resets across") {
+    val sp = spark; import sp.implicits._
+    // 3 tokens per doc; budget 5 → within a source: chunk 0 holds docs with
+    // cum-before 0 and 3; doc with cum-before 6 starts chunk 1
+    val docs = Seq((1L, "a b c", "s1"), (2L, "d e f", "s1"), (3L, "g h i", "s1"),
+      (4L, "j k l", "s2")).toDF("doc_id", "text", "source")
+    val got = operators.TrainingOps.tokenBudgetChunks(docs, budget = 5)
+      .select("doc_id", "chunk_id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 0L)), s"got $got")
+  }
+
   test("word diversity: distinct/total token ratio") {
     val sp = spark; import sp.implicits._
     val docs = Seq((1L, "a b a b"), (2L, "x y z")).toDF("doc_id", "text")
