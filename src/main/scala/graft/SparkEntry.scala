@@ -403,6 +403,15 @@ object SparkEntry {
       // sequence packing: running-token-total chunk assignment per source
       "q_token_chunks" -> ((s: SparkSession, d: String) =>
         TrainingOps.tokenBudgetChunks(t(s, d, "documents"), budget = 256)),
+      // PII scrub, non-vacuous via planted rows (corpus text has no PII)
+      "q_scrub_pii" -> ((s: SparkSession, d: String) => {
+        import s.implicits._
+        val planted = Seq(
+          (900001L, "mail alice.smith+x@sub.example.co.uk or see https://ex.com/a_b?x=1&y=2 now"),
+          (900002L, "no pii in this row")).toDF("doc_id", "text")
+        TrainingOps.scrubPii(
+          t(s, d, "documents").select(col("doc_id"), col("text")).unionByName(planted))
+      }),
       "q_vocab_topk" -> ((s: SparkSession, d: String) =>
         TrainingOps.vocabTopK(t(s, d, "documents"), k = 100)),
       "q_normalize" -> ((s: SparkSession, d: String) =>
@@ -614,6 +623,13 @@ object SparkEntry {
           "len(string_split(lower(text), ' '))::BIGINT AS n_words, " +
           "len(list_distinct(string_split(lower(text), ' ')))::DOUBLE / len(string_split(lower(text), ' ')) AS diversity " +
           "FROM documents"),
+      "q_scrub_pii" ->
+        ("SELECT doc_id, regexp_replace(regexp_replace(text, " +
+          "'https?://[A-Za-z0-9./_%+#?=&-]+', '<URL>', 'g'), " +
+          "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g') AS scrubbed " +
+          "FROM (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM (VALUES " +
+          "(900001, 'mail alice.smith+x@sub.example.co.uk or see https://ex.com/a_b?x=1&y=2 now'), " +
+          "(900002, 'no pii in this row')) v(doc_id, text)) t"),
       "q_token_chunks" ->
         ("SELECT doc_id, source, nt AS n_tokens, " +
           "CAST(FLOOR(COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256) AS BIGINT) AS chunk_id " +

@@ -552,6 +552,18 @@ object TrainingOps {
       (size(array_distinct(words)).cast("double") / size(words)).as("diversity"))
   }
 
+  /** PII scrub for training text: redact emails and URLs with stable
+    * placeholder tokens. Patterns restricted to syntax with identical
+    * semantics in Java regex and RE2 (no backrefs/lookaround), so the
+    * DuckDB oracle replicates it exactly; pure codegen'd regexp_replace. */
+  def scrubPii(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    val url = "https?://[A-Za-z0-9./_%+#?=&-]+"
+    docs.select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"), url, "<URL>"), email, "<EMAIL>")
+        .as("scrubbed"))
+  }
+
   /** Sequence packing for training batches: assign each doc a chunk_id so
     * consecutive docs (by doc_id, within a `source` stratum) fill a token
     * budget — the standard pre-tokenization packing step. chunk_id =

@@ -88,6 +88,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("octet_length"), p)
   }
 
+  test("token packing shuffles on the source stratum, never a global sort") {
+    val df = operators.TrainingOps.tokenBudgetChunks(
+      spark.read.parquet(s"$sfDir/documents.parquet"), budget = 256)
+    val p = plan(df)
+    assert(p.contains("hashpartitioning(source"), p) // window keyed by stratum
+    // a global ORDER BY would plan rangepartitioning / a single partition
+    assert(!p.contains("rangepartitioning"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("extraction pipeline: single exchange per side, salted repartition present") {
     implicit val s: SparkSession = spark
     import s.implicits._

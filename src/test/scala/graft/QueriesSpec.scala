@@ -156,6 +156,20 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 0L)), s"got $got")
   }
 
+  test("PII scrub redacts emails and URLs, leaves clean text alone") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "write a.b+c@x-y.co.uk today"),
+      (2L, "see http://a.io/p?q=1 and https://b.net/z#frag"),
+      (3L, "plain text only")).toDF("doc_id", "text")
+    val got = operators.TrainingOps.scrubPii(docs)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "write <EMAIL> today"),
+      (2L, "see <URL> and <URL>"),
+      (3L, "plain text only")), s"got $got")
+  }
+
   test("word diversity: distinct/total token ratio") {
     val sp = spark; import sp.implicits._
     val docs = Seq((1L, "a b a b"), (2L, "x y z")).toDF("doc_id", "text")
