@@ -236,8 +236,8 @@ object Bench {
     }
     val kernelCleanN = kernelClean.size
     val kernelEff = median(if (kernelClean.nonEmpty) kernelClean else kernelEffs)
-    val k4 = kernelPairs.map(_._1).max
-    val k16 = kernelPairs.map(_._2).max
+    val k4 = kBest4
+    val k16 = kBest16
     val dps4 = nDocs / sec4
     val dps16 = nDocs / sec16
     val dps32 = nDocs / sec32
@@ -268,8 +268,11 @@ object Bench {
       "kernel_media_per_sec_16t" -> k16,
       "kernel_clean_pair_count" -> kernelCleanN.toDouble,
       "kernel_scaling_efficiency_4_to_16" -> kernelEff)
+    // NaN/Infinity are not valid JSON literals (a fully-failed pair set
+    // would otherwise make the whole driver line unparseable) → null
+    def num(v: Double): String = if (v.isNaN || v.isInfinite) "null" else f"$v%.4f"
     val qs = (queryTimes ++ extras)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     // headline efficiency = median over the clean (window-uncorrupted)
     // time-paired rounds, clamped to [0,1]; raw value, the all-pair median
@@ -281,9 +284,9 @@ object Bench {
     val headlineEff = math.min(1.0, headlineRaw)
     val outOfRange = headlineRaw > 1.0
     def pairsJson(ps: Seq[(Double, Double)]): String =
-      ps.map { case (a, b) => f"[$a%.4f,$b%.4f]" }.mkString("[", ",", "]")
-    val probesJson = probes.map(p => f"$p%.1f").mkString("[", ",", "]")
+      ps.map { case (a, b) => s"[${num(a)},${num(b)}]" }.mkString("[", ",", "]")
+    val probesJson = probes.map(p => num(p)).mkString("[", ",", "]")
     val cleanJson = pairEntries.map(_._3).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec_local32":$dps32,"scaling_efficiency":$headlineEff,"scaling_efficiency_raw":$headlineRaw,"scaling_out_of_range":$outOfRange,"scaling_pairs_sec_4_16":${pairsJson(jobPairs)},"scaling_pairs_window_clean":$cleanJson,"window_probes_media_per_sec":$probesJson,"kernel_pairs_media_per_sec_4_16":${pairsJson(kernelPairs.toSeq)}}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec_local32":${num(dps32)},"scaling_efficiency":${num(headlineEff)},"scaling_efficiency_raw":${num(headlineRaw)},"scaling_out_of_range":$outOfRange,"scaling_pairs_sec_4_16":${pairsJson(jobPairs)},"scaling_pairs_window_clean":$cleanJson,"window_probes_media_per_sec":$probesJson,"kernel_pairs_media_per_sec_4_16":${pairsJson(kernelPairs.toSeq)}}""")
   }
 }

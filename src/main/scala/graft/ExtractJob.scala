@@ -84,7 +84,9 @@ object ExtractJob {
       .select(col("media_ref"), col("bytes"), col("size_bucket"))
     def ds(df: DataFrame) =
       df.select(col("media_ref").as[String], col("bytes").as[Array[Byte]]).as[(String, Array[Byte])]
-    val small = ds(work.where(col("size_bucket") <= heavyBucket))
+    // NULL buckets (schema-evolved files predating the column) route small:
+    // a row must never be silently dropped by the branch split
+    val small = ds(work.where(col("size_bucket") <= heavyBucket || col("size_bucket").isNull))
     val heavy = ds(work.where(col("size_bucket") > heavyBucket)
       .withColumn("salt", pmod(xxhash64(col("media_ref")), lit(numPartitions)))
       .repartition(numPartitions, col("size_bucket"), col("salt")))
@@ -187,26 +189,39 @@ object ExtractJob {
     * are NOT listed in the `_committed` manifest — the debris a crashed
     * run leaves behind. Committed runs are never touched. Returns the
     * deleted run ids. Safe to call concurrently with readers: orphan dirs
-    * are by definition invisible to them. */
-  def vacuumRuns(outDir: String): Seq[String] = {
-    import java.nio.file.{Files, Paths}
+    * are by definition invisible to them.
+    *
+    * `minAgeMs` guards the race with an IN-FLIGHT (not crashed) run whose
+    * staged directory exists but whose commit hasn't swapped the manifest
+    * yet — the same guard Iceberg's remove_orphan_files applies via its
+    * older-than threshold. Only directories whose last modification is at
+    * least this old are eligible (default 24 h; a live run touches its
+    * directory far more often than that). */
+  def vacuumRuns(outDir: String, minAgeMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    import java.nio.file.{Files, Paths, Path}
     import scala.jdk.CollectionConverters._
     val committedFile = Paths.get(s"$outDir/_committed")
     val committed: Set[String] =
       if (Files.exists(committedFile))
         new String(Files.readAllBytes(committedFile), "UTF-8").split("\n").filter(_.nonEmpty).toSet
       else Set.empty
-    def deleteRecursively(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    def listDir(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close() // Files.list leaks a fd unless closed
+    }
+    def deleteRecursively(p: Path): Unit = {
+      if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
       Files.deleteIfExists(p)
     }
+    val cutoff = System.currentTimeMillis() - minAgeMs
     val removed = Seq.newBuilder[String]
     for (sub <- Seq("spans_out", "lineage", "metrics")) {
       val root = Paths.get(s"$outDir/$sub")
       if (Files.isDirectory(root)) {
-        Files.list(root).iterator().asScala.toSeq.foreach { d =>
+        listDir(root).foreach { d =>
           val name = d.getFileName.toString
-          if (name.startsWith("run=") && !committed.contains(name.stripPrefix("run="))) {
+          val oldEnough = Files.getLastModifiedTime(d).toMillis <= cutoff
+          if (name.startsWith("run=") && oldEnough && !committed.contains(name.stripPrefix("run="))) {
             deleteRecursively(d)
             removed += name.stripPrefix("run=")
           }

@@ -149,7 +149,9 @@ object MediaOps {
           MediaFeatures(m.media_ref, m.kind, m.bytes.length.toLong, w, h, feat)
         }
       }
-    val small = work.where(col("size_bucket") <= heavyBucket)
+    // NULL buckets (schema-evolved files predating the column) route small:
+    // a row must never be silently dropped by the branch split
+    val small = work.where(col("size_bucket") <= heavyBucket || col("size_bucket").isNull)
     val heavy = work.where(col("size_bucket") > heavyBucket)
       .withColumn("salt", pmod(xxhash64(col("media_ref")), lit(parts)))
       .repartition(parts, col("size_bucket"), col("salt"))

@@ -41,9 +41,15 @@ object StreamingOps {
     * expectation.
     *
     * `retention` (e.g. Some("30 minutes")) bounds the state store for a
-    * continuously-fed pipeline: a key idle longer than the TTL *in event
-    * time* is dropped (its next occurrence is re-admitted as new). The TTL
-    * is event-time — a watermark + EventTimeTimeout — NOT processing-time:
+    * continuously-fed pipeline: a key idle in event time is dropped and
+    * its next occurrence re-admitted as new. The same duration serves as
+    * the watermark delay (late-arrival tolerance) AND the TTL, and expiry
+    * compares against the watermark, so the exact guarantee is: a key is
+    * KEPT for at least `retention` of event-time idleness and DROPPED by
+    * at most 2×`retention` (idle ≥ TTL relative to the watermark, which
+    * itself trails max event time by the delay). State is therefore
+    * bounded by ~2×retention of traffic. The TTL is event-time — a
+    * watermark + EventTimeTimeout — NOT processing-time:
     * processing-time timeouts keep the micro-batch engine spinning empty
     * batches under Trigger.AvailableNow (the query never terminates), and
     * event-time expiry is deterministic under replay. State stores the

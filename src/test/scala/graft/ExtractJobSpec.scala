@@ -79,7 +79,9 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     orphan.mkdirs()
     java.nio.file.Files.writeString(orphan.toPath.resolve("part-0.parquet"), "partial")
     new java.io.File(s"$out/lineage/run=crashed").mkdirs()
-    val removed = ExtractJob.vacuumRuns(out)
+    // default min-age guard: a fresh (possibly in-flight) dir is NOT eligible
+    assert(ExtractJob.vacuumRuns(out).isEmpty && orphan.exists())
+    val removed = ExtractJob.vacuumRuns(out, minAgeMs = 0)
     assert(removed == Seq("crashed"), s"removed $removed")
     assert(!orphan.exists())
     assert(new java.io.File(s"$out/spans_out/run=good").exists()) // committed untouched
