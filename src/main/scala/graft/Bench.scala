@@ -165,24 +165,32 @@ object Bench {
     // ratios themselves it cannot bias the estimate in either direction.
     val probeMedia = kMedia.take(250)
     val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def probe(): Unit = probes += graft.testkit.KernelBench.run(probeMedia, 1)
+    def probe(): Int = { probes += graft.testkit.KernelBench.run(probeMedia, 1); probes.size - 1 }
     val childCpus = scala.collection.mutable.ArrayBuffer.empty[Int]
     val childRes = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val childProbeIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val kernelProbeIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
     schedule.foreach { group =>
       group.foreach { c =>
-        probe()
+        childProbeIdx += probe()
         childCpus += c
         childRes += measureForked(c, inDir)
       }
+      // probes also bracket the kernel pairs (same sensor, same criterion):
+      // the within-15%-of-best-per-level filter used in earlier revisions
+      // broke when EVERY k4 sample was throttled — "best" was itself
+      // corrupted and the filter passed a pair with impossible eff 1.12
+      kernelProbeIdx += probe()
       kernelPairs += ((graft.testkit.KernelBench.run(kMedia, 4),
         graft.testkit.KernelBench.run(kMedia, 16)))
     }
-    probe() // closing bracket for the last child
-    // three extra kernel reps (~4 s each): more window samples for the
-    // kernel clean-pair selection below
+    probe() // closing bracket for the last kernel pair
+    // three extra kernel reps (~4 s each): more window samples
     (1 to 3).foreach { _ =>
+      kernelProbeIdx += probes.size - 1
       kernelPairs += ((graft.testkit.KernelBench.run(kMedia, 4),
         graft.testkit.KernelBench.run(kMedia, 16)))
+      probe()
     }
     val results: Seq[(Int, (Long, Double))] = childCpus.toSeq.zip(childRes.toSeq)
     def best(cpus: Int): (Long, Double) = {
@@ -208,13 +216,17 @@ object Bench {
       if (xs.isEmpty) Double.NaN
       else { val s = xs.sorted; (s((s.size - 1) / 2) + s(s.size / 2)) / 2.0 }
 
-    // pairs with their bracketing window probes: child k is bracketed by
-    // probes(k) and probes(k+1), so a (k, k+1) pair spans probes k..k+2
+    // pairs with their bracketing window probes: probes is chronological,
+    // so the probe AFTER any measurement is the next index past the probe
+    // taken before it — a (k, k+1) child pair spans probe indices
+    // childProbeIdx(k) .. childProbeIdx(k+1)+1
     val probeRef = probes.max
+    def probesCleanIn(lo: Int, hi: Int): Boolean =
+      (lo to math.min(hi, probes.size - 1)).forall(i => probes(i) >= 0.85 * probeRef)
     val pairEntries = (0 until results.size - 1).collect {
       case k if childCpus(k) == 4 && childCpus(k + 1) == 16 &&
         !childRes(k)._2.isNaN && !childRes(k + 1)._2.isNaN =>
-        val clean = Seq(probes(k), probes(k + 1), probes(k + 2)).min >= 0.85 * probeRef
+        val clean = probesCleanIn(childProbeIdx(k), childProbeIdx(k + 1) + 1)
         (childRes(k)._2, childRes(k + 1)._2, clean)
     }.toSeq
     val jobPairs = pairEntries.map(p => (p._1, p._2))
@@ -224,20 +236,20 @@ object Bench {
     val jobCleanN = cleanEffs.size
     val jobCleanEff = median(if (cleanEffs.nonEmpty) cleanEffs else jobEffs)
 
-    // kernel pairs: both halves run back-to-back in ~4 s, so intra-pair
-    // window flips are rare; a symmetric within-15%-of-best-per-level
-    // filter suffices (a throttled k4 inflates the ratio and is excluded
-    // exactly like a throttled k16, which deflates it)
+    // kernel pairs: same probe-bracketed cleanliness criterion as the job
+    // pairs (a kernel pair sits between the probe at kernelProbeIdx(j) and
+    // the next probe)
     val kernelEffs = kernelPairs.toSeq.map { case (k4, k16) => k16 / (4.0 * k4) }
-    val kBest4 = kernelPairs.map(_._1).max
-    val kBest16 = kernelPairs.map(_._2).max
-    val kernelClean = kernelPairs.toSeq.collect {
-      case (k4, k16) if k4 >= kBest4 / 1.15 && k16 >= kBest16 / 1.15 => k16 / (4.0 * k4)
+    val kernelClean = kernelPairs.toSeq.zipWithIndex.collect {
+      case ((k4, k16), j) if probesCleanIn(kernelProbeIdx(j), kernelProbeIdx(j) + 1) =>
+        k16 / (4.0 * k4)
     }
     val kernelCleanN = kernelClean.size
-    val kernelEff = median(if (kernelClean.nonEmpty) kernelClean else kernelEffs)
-    val k4 = kBest4
-    val k16 = kBest16
+    val kernelEffRaw = median(if (kernelClean.nonEmpty) kernelClean else kernelEffs)
+    // efficiency > 1 is physically impossible — clamp, report raw alongside
+    val kernelEff = math.min(1.0, kernelEffRaw)
+    val k4 = kernelPairs.map(_._1).max
+    val k16 = kernelPairs.map(_._2).max
     val dps4 = nDocs / sec4
     val dps16 = nDocs / sec16
     val dps32 = nDocs / sec32
@@ -267,6 +279,7 @@ object Bench {
       "kernel_media_per_sec_4t" -> k4,
       "kernel_media_per_sec_16t" -> k16,
       "kernel_clean_pair_count" -> kernelCleanN.toDouble,
+      "kernel_scaling_efficiency_raw" -> kernelEffRaw,
       "kernel_scaling_efficiency_4_to_16" -> kernelEff)
     // NaN/Infinity are not valid JSON literals (a fully-failed pair set
     // would otherwise make the whole driver line unparseable) → null
