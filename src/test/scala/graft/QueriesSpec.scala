@@ -170,6 +170,29 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "plain text only")), s"got $got")
   }
 
+  test("normalize and scrubPii are idempotent on seeded random text") {
+    val sp = spark; import sp.implicits._
+    val r = new java.util.Random(42)
+    def randText(): String = (0 until (1 + r.nextInt(40))).map { _ =>
+      r.nextInt(5) match {
+        case 0 => "word" + r.nextInt(100)
+        case 1 => "a.b+" + r.nextInt(10) + "@ex" + r.nextInt(10) + ".com"
+        case 2 => "https://s" + r.nextInt(10) + ".io/p?q=" + r.nextInt(100)
+        case 3 => "Pünct!@#%" + r.nextInt(10)
+        case _ => "  MIXed   Case " + r.nextInt(10)
+      }
+    }.mkString(" ")
+    val docs = (1 to 100).map(i => (i.toLong, randText())).toDF("doc_id", "text")
+    val n1 = operators.TrainingOps.normalize(docs)
+    val n2 = operators.TrainingOps.normalize(n1.withColumnRenamed("norm_text", "text"))
+    assert(n1.orderBy("doc_id").select("norm_text").as[String].collect().toSeq ==
+      n2.orderBy("doc_id").select("norm_text").as[String].collect().toSeq)
+    val s1 = operators.TrainingOps.scrubPii(docs)
+    val s2 = operators.TrainingOps.scrubPii(s1.withColumnRenamed("scrubbed", "text"))
+    assert(s1.orderBy("doc_id").select("scrubbed").as[String].collect().toSeq ==
+      s2.orderBy("doc_id").select("scrubbed").as[String].collect().toSeq)
+  }
+
   test("word diversity: distinct/total token ratio") {
     val sp = spark; import sp.implicits._
     val docs = Seq((1L, "a b a b"), (2L, "x y z")).toDF("doc_id", "text")
