@@ -382,8 +382,22 @@ object TrainingOps {
     while (!converged && iter < maxIter) {
       val neighborMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(col("a")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neighborMin, labels("id") === neighborMin("a"), "left")
+      // eager checkpoint: the self-join below reads hop twice
+      val hop = labels.join(neighborMin, labels("id") === neighborMin("a"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      // pointer doubling (path compression): label ← label(label). A node's
+      // label is always a member of its own component with id ≤ its own, so
+      // compressing through it preserves the invariant while halving the
+      // remaining chain length — O(log diameter) rounds instead of
+      // O(diameter), the property that saves a pathological duplicate
+      // chain at corpus scale. Cost: one extra self-join per round on the
+      // (id,label) table, one narrow row per node.
+      val next = hop.as("x")
+        .join(hop.select(col("id").as("lid"), col("label").as("llabel")).as("y"),
+          col("x.label") === col("y.lid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.label"), coalesce(col("llabel"), col("x.label"))).as("label"))
         .localCheckpoint(true)
       // round 1 always changes something when edges exist (the larger
       // endpoint of any edge adopts the smaller label) — skip its check
@@ -396,13 +410,13 @@ object TrainingOps {
       iter += 1
     }
     edges.unpersist(blocking = false)
-    // min-label propagation needs O(component diameter) rounds; hitting the
-    // cap means some long duplicate chain is still split into multiple
+    // with pointer doubling, rounds ≈ log2(component diameter); hitting the
+    // cap still means some immense duplicate chain is split into multiple
     // cluster ids — silently returning those would LOOK valid, so warn
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"dupClusters: not converged after $maxIter rounds — a component's " +
-          "diameter exceeds the cap and its cluster ids are split; raise maxIter")
+          "diameter exceeds 2^rounds and its cluster ids are split; raise maxIter")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

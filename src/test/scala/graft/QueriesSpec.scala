@@ -118,6 +118,17 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fp == want)
   }
 
+  test("dupClusters converges on a 200-node chain within O(log n) rounds") {
+    val sp = spark; import sp.implicits._
+    // plain min-label propagation needs ~200 rounds here; pointer doubling
+    // must close the chain within the 12-round cap (2^12 >> 200)
+    val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = operators.TrainingOps.dupClusters(pairs, maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(got.length == 200)
+    assert(got.forall(_._2 == 1L), s"unconverged labels: ${got.filter(_._2 != 1L).take(5).toSeq}")
+  }
+
   test("cluster representatives: longest text wins, ties to min doc_id") {
     val sp = spark; import sp.implicits._
     val docs = Seq((1L, "aa"), (2L, "aaaa"), (3L, "bb"), (4L, "bb"), (5L, "solo"))
