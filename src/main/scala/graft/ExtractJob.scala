@@ -194,20 +194,30 @@ object ExtractJob {
     * `minAgeMs` guards the race with an IN-FLIGHT (not crashed) run whose
     * staged directory exists but whose commit hasn't swapped the manifest
     * yet — the same guard Iceberg's remove_orphan_files applies via its
-    * older-than threshold. Only directories whose last modification is at
-    * least this old are eligible (default 24 h; a live run touches its
-    * directory far more often than that). */
+    * older-than threshold. Age is the NEWEST modification time anywhere in
+    * the run's directory tree, not the top-level dir's mtime: POSIX dir
+    * mtime only changes when a direct child is added/removed, so a long
+    * in-flight run still writing under nested task directories would look
+    * idle by the top-level stamp alone (default 24 h; a live run touches
+    * some file far more often than that). The `_committed` manifest is
+    * additionally re-read immediately before EACH delete, shrinking the
+    * window against a commit that lands mid-vacuum. */
   def vacuumRuns(outDir: String, minAgeMs: Long = 24L * 3600 * 1000): Seq[String] = {
     import java.nio.file.{Files, Paths, Path}
     import scala.jdk.CollectionConverters._
     val committedFile = Paths.get(s"$outDir/_committed")
-    val committed: Set[String] =
+    def committedNow(): Set[String] =
       if (Files.exists(committedFile))
         new String(Files.readAllBytes(committedFile), "UTF-8").split("\n").filter(_.nonEmpty).toSet
       else Set.empty
     def listDir(p: Path): Seq[Path] = {
       val s = Files.list(p)
       try s.iterator().asScala.toSeq finally s.close() // Files.list leaks a fd unless closed
+    }
+    def newestMTime(p: Path): Long = {
+      val self = Files.getLastModifiedTime(p).toMillis
+      if (Files.isDirectory(p)) listDir(p).foldLeft(self)((m, c) => math.max(m, newestMTime(c)))
+      else self
     }
     def deleteRecursively(p: Path): Unit = {
       if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
@@ -220,8 +230,8 @@ object ExtractJob {
       if (Files.isDirectory(root)) {
         listDir(root).foreach { d =>
           val name = d.getFileName.toString
-          val oldEnough = Files.getLastModifiedTime(d).toMillis <= cutoff
-          if (name.startsWith("run=") && oldEnough && !committed.contains(name.stripPrefix("run="))) {
+          val oldEnough = newestMTime(d) <= cutoff
+          if (name.startsWith("run=") && oldEnough && !committedNow().contains(name.stripPrefix("run="))) {
             deleteRecursively(d)
             removed += name.stripPrefix("run=")
           }

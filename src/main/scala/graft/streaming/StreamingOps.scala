@@ -57,7 +57,15 @@ object StreamingOps {
     * timeouts (keys idle across later batches) and lazily on arrival (a
     * key whose stored time has fallen behind watermark−TTL re-admits even
     * if its timeout never got a batch to fire in). Default None = keep
-    * state forever — exact dedup for bounded backfills. */
+    * state forever — exact dedup for bounded backfills.
+    *
+    * CHECKPOINT COMPATIBILITY: the keyed state encoding is a Long (the
+    * key's newest event-time); earlier revisions stored a Boolean.
+    * flatMapGroupsWithState does not migrate state schemas, so a
+    * checkpoint written by the Boolean revision cannot be resumed by this
+    * one — upgrading requires a fresh `checkpointLocation` (re-seeding
+    * dedup state from the committed output if first-seen history must be
+    * preserved). */
   def dedupByTextStream(docs: Dataset[TimedDoc],
                         retention: Option[String] = None): Dataset[TimedDoc] = {
     import docs.sparkSession.implicits._

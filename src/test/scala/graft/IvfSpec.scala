@@ -36,4 +36,23 @@ class IvfSpec extends AnyFunSuite with BeforeAndAfterAll {
     val total = operators.TrainingOps.tokenCountBpe(d).agg(sum("n_bpe_tokens")).head.getLong(0)
     assert(total > 0)
   }
+
+  test("IVF quantizer persists and loads bit-identically; search through it matches") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.orderBy(col("vec_id")).limit(3)
+    val cents = operators.TrainingOps.ivfCentroids(e, nCells = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-rt").toString + "/centroids"
+    operators.TrainingOps.saveCentroids(spark, cents, dir)
+    val loaded = operators.TrainingOps.loadCentroids(spark, dir)
+    // bitwise round trip, cell order preserved
+    assert(loaded.length == cents.length)
+    cents.zip(loaded).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // a search routed through the persisted quantizer returns the exact
+    // same result set as the in-memory quantizer
+    def rows(c: Array[Array[Double]]) =
+      operators.TrainingOps.knnIvf(e, q, dim = 64, k = 5, centroids0 = c)
+        .select("query_id", "vec_id", "cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(rows(cents) == rows(loaded))
+  }
 }

@@ -88,6 +88,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("octet_length"), p)
   }
 
+  test("minhash LSH plans ONE signature pass: single scan, no duplicated pipeline") {
+    val df = operators.TrainingOps.minhashLshPairs(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    df.collect() // finalize the adaptive plan
+    // AQE's toString prints the tree twice (final + initial) — count in
+    // the executed Final Plan section only
+    val p = plan(df).split("== Initial Plan ==").head
+    // the round-3 formulation (count branch + semi-join) planned the
+    // scan → minhash MapPartitions pipeline twice; the window-count
+    // formulation must plan it exactly once
+    val scans = "FileScan".r.findAllIn(p).size
+    val kernels = "MapPartitions".r.findAllIn(p).size
+    assert(scans == 1, s"$scans FileScans (want 1):\n$p")
+    assert(kernels == 1, s"$kernels MapPartitions (want 1):\n$p")
+  }
+
   test("token packing shuffles on the source stratum, never a global sort") {
     val df = operators.TrainingOps.tokenBudgetChunks(
       spark.read.parquet(s"$sfDir/documents.parquet"), budget = 256)

@@ -62,6 +62,22 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs((1L, 2L)) == 1.0)
   }
 
+  test("knn lsh multi-probe: recall >= 0.95 vs brute force at sf0.01") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.orderBy(col("vec_id")).limit(5)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = rows(operators.TrainingOps.knnBrute(e, q, k = 10))
+    val lsh = rows(operators.TrainingOps.knnLsh(e, q, dim = 64, k = 10))
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(f"multi-probe recall = $recall%.3f (${(brute & lsh).size}/${brute.size})")
+    assert(recall >= 0.95, f"recall $recall%.3f < 0.95")
+    // single-probe is the recall floor multi-probe must dominate
+    val single = rows(operators.TrainingOps.knnLsh(e, q, dim = 64, k = 10, probes = 1))
+    assert((brute & single).size <= (brute & lsh).size)
+  }
+
   test("knn brute vs lsh: lsh results are a scored subset") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -91,9 +107,12 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       (100002L, "a unique near duplicate sentence about spark query engines"))
     val docs = (boiler ++ planted).toDF("doc_id", "text")
     val q = operators.TrainingOps.minhashLshPairs(docs, maxBucket = 64)
-    // the cap must act as a pre-collect semi-join, not a post-collect filter
+    // the cap must act BELOW the collect_list aggregate (a window-count
+    // filter), not as a post-collect filter: in the top-down plan print the
+    // collect_list aggregate appears above (before) the window bucket-size
     val plan = q.queryExecution.optimizedPlan.toString
-    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("windowspecdefinition"), plan)
+    assert(plan.indexOf("collect_list") < plan.indexOf("windowspecdefinition"), plan)
     val pairs = q.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((100001L, 100002L)), s"got $pairs")
   }
@@ -167,18 +186,26 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 0L)), s"got $got")
   }
 
-  test("PII scrub redacts emails and URLs, leaves clean text alone") {
+  test("PII scrub redacts emails, URLs, IPs and phones; leaves clean text alone") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
       (1L, "write a.b+c@x-y.co.uk today"),
       (2L, "see http://a.io/p?q=1 and https://b.net/z#frag"),
-      (3L, "plain text only")).toDF("doc_id", "text")
+      (3L, "plain text only"),
+      (4L, "call +1-555-123-4567 or (555) 867-5309 now"),
+      (5L, "hosts 10.0.0.1 and fe80:0:0:0:0:0:0:1 up"),
+      // near-misses that must NOT be scrubbed: clock time (2 colons),
+      // ISO date (2-2 digit groups), bare long number (no separators)
+      (6L, "at 12:30:45 on 2026-08-17 ref 5551234567")).toDF("doc_id", "text")
     val got = operators.TrainingOps.scrubPii(docs)
       .as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(got == Seq(
       (1L, "write <EMAIL> today"),
       (2L, "see <URL> and <URL>"),
-      (3L, "plain text only")), s"got $got")
+      (3L, "plain text only"),
+      (4L, "call <PHONE> or <PHONE> now"),
+      (5L, "hosts <IP> and <IP> up"),
+      (6L, "at 12:30:45 on 2026-08-17 ref 5551234567")), s"got $got")
   }
 
   test("normalize and scrubPii are idempotent on seeded random text") {
