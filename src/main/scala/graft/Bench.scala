@@ -126,134 +126,151 @@ object Bench {
     // north-rule scaling: identical job at N=4 and 4N=16 local cores (the
     // sandbox proxy for N vs 4N executors — both levels leave GC/runtime
     // headroom on the 32-core box). Each level runs in its OWN forked JVM
-    // with ParallelGCThreads=cores: a real 4-core executor sizes its GC to
-    // 4 cores, while a shared 32-core JVM would hand the small level 23 GC
-    // threads for free and understate its true cost. local[32] is measured
-    // too as the peak.
-    //
-    // The VM's noise windows last minutes, so levels are measured
-    // INTERLEAVED (4,16,32 × 3 rounds) and each level takes its min across
-    // rounds — a noise spike then degrades one round of every level instead
-    // of silently biasing one level's only measurement.
-    // the 4↔16 ratio IS the north metric → measure that pair 4×
-    // interleaved; the informational 32-core peak twice (schedule bounded
-    // so the whole bench stays well under typical harness timeouts). The
-    // host shows multi-minute throttle windows during which local[32] can
-    // measure SLOWER than local[16]; min-per-level over interleaved rounds
-    // is the defense — a reported number is always one the machine
-    // actually achieved.
+    // with ParallelGCThreads=cores (a real 4-core executor sizes its GC to
+    // 4 cores). local[32] is measured too as the peak. Levels are measured
+    // INTERLEAVED because this host's throttle windows last minutes.
     // Kernel evidence (bandwidth-isolated, plain thread pool, no Spark) is
-    // measured INTERLEAVED with the job pairs — one (4t,16t) kernel rep in
-    // the parent right after each forked (4,16) job pair — so both
-    // estimators sample the same noise windows instead of the kernel getting
-    // whatever window happens to follow the whole schedule (r2 measured an
-    // in-bench 0.52 vs 0.84+ standalone that way).
+    // measured interleaved with the job pairs so both estimators sample
+    // the same noise windows.
     val kMedia = graft.testkit.KernelBench.genMedia(3000)
     graft.testkit.KernelBench.run(kMedia.take(500), 4) // JIT warm
-    val kernelPairs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    // 5 (4,16) pairs for a stable median; 3 separate 32-core rounds so the
-    // informational peak has three window samples (this host's throttle
-    // windows can sink any single round by 2-3x)
-    val schedule = Seq(Seq(4, 16, 32), Seq(4, 16), Seq(4, 16, 32), Seq(4, 16), Seq(4, 16, 32))
+
     // WINDOW PROBES: a ~0.35 s single-thread kernel run is a direct sensor
     // of the host's CPU-throttle state (clean ≈ 700-780 media/s here,
-    // throttled windows halve it). One probe runs before every child and
-    // once after the last; a (4,16) pair is accepted as window-clean only
-    // if the three probes bracketing it all sit within 85% of the best
-    // probe seen. Crucially the criterion never looks at the pair's own
-    // ratio — selection is outcome-INDEPENDENT, so unlike filtering on the
-    // ratios themselves it cannot bias the estimate in either direction.
+    // throttled windows halve it or worse). One probe brackets every
+    // measurement; a measurement is accepted as window-clean only if all
+    // its bracketing probes sit within 85% of the probe REFERENCE. The
+    // criterion never looks at a measurement's own value — selection is
+    // outcome-INDEPENDENT, so it cannot bias the estimate. The reference
+    // is max(best probe seen, an absolute floor): round 3 recorded a run
+    // where EVERY probe after the first was throttled (42-667 media/s) —
+    // best-probe-relative alone would have accepted garbage had the first
+    // probe also landed in the window. The floor is this host's measured
+    // clean single-thread kernel rate (700-780 across rounds 2-3, ~5%
+    // build-to-build drift), overridable via SPARK_GRAFT_PROBE_FLOOR.
+    val probeFloor = sys.env.get("SPARK_GRAFT_PROBE_FLOOR").map(_.toDouble).getOrElse(640.0)
     val probeMedia = kMedia.take(250)
     val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
     def probe(): Int = { probes += graft.testkit.KernelBench.run(probeMedia, 1); probes.size - 1 }
+    def threshold: Double = 0.85 * math.max(probes.max, probeFloor)
+    def probesCleanIn(lo: Int, hi: Int): Boolean =
+      (lo to math.min(hi, probes.size - 1)).forall(i => probes(i) >= threshold)
+
     val childCpus = scala.collection.mutable.ArrayBuffer.empty[Int]
     val childRes = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
     val childProbeIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val kernelPairs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val kernelProbeIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
-    schedule.foreach { group =>
-      group.foreach { c =>
-        childProbeIdx += probe()
-        childCpus += c
-        childRes += measureForked(c, inDir)
-      }
-      // probes also bracket the kernel pairs (same sensor, same criterion):
-      // the within-15%-of-best-per-level filter used in earlier revisions
-      // broke when EVERY k4 sample was throttled — "best" was itself
-      // corrupted and the filter passed a pair with impossible eff 1.12
+    def runChild(c: Int): Unit = {
+      childProbeIdx += probe()
+      childCpus += c
+      childRes += measureForked(c, inDir)
+    }
+    def runKernelPair(): Unit = {
       kernelProbeIdx += probe()
       kernelPairs += ((graft.testkit.KernelBench.run(kMedia, 4),
         graft.testkit.KernelBench.run(kMedia, 16)))
     }
-    probe() // closing bracket for the last kernel pair
-    // three extra kernel reps (~4 s each): more window samples
-    (1 to 3).foreach { _ =>
-      kernelProbeIdx += probes.size - 1
-      kernelPairs += ((graft.testkit.KernelBench.run(kMedia, 4),
-        graft.testkit.KernelBench.run(kMedia, 16)))
-      probe()
-    }
-    val results: Seq[(Int, (Long, Double))] = childCpus.toSeq.zip(childRes.toSeq)
-    def best(cpus: Int): (Long, Double) = {
-      val rs = results.collect { case (`cpus`, r) if !r._2.isNaN => r }
-      (rs.head._1, rs.map(_._2).min)
-    }
-    val (_, sec4) = best(4)
-    val (_, sec16) = best(16)
-    val (n32, sec32) = best(32)
+    // a measurement's bracketing probes = the probe taken right before it
+    // and the chronologically next probe (probe indices are global)
+    def jobPairIdx: Seq[Int] = (0 until childCpus.size - 1)
+      .filter(k => childCpus(k) == 4 && childCpus(k + 1) == 16 &&
+        !childRes(k)._2.isNaN && !childRes(k + 1)._2.isNaN)
+    def jobPairClean(k: Int): Boolean = probesCleanIn(childProbeIdx(k), childProbeIdx(k + 1) + 1)
+    def idx32: Seq[Int] = (0 until childCpus.size)
+      .filter(k => childCpus(k) == 32 && !childRes(k)._2.isNaN)
+    def clean32Idx: Seq[Int] = idx32.filter(k => probesCleanIn(childProbeIdx(k), childProbeIdx(k) + 1))
+    def kernelCleanIdx: Seq[Int] = kernelPairs.indices
+      .filter(j => probesCleanIn(kernelProbeIdx(j), kernelProbeIdx(j) + 1))
 
-    // PAIRED efficiency: each adjacent (4,16) schedule pair ran back-to-back,
-    // usually inside one noise window, so its ratio tends to be internally
-    // consistent. The MEDIAN over ALL pairs is the headline — max() over
-    // noisy samples cherry-picks upward (r2 shipped a physically impossible
-    // 3.03 that way), the min-per-level ratio mixes windows, and
-    // pre-filtering only the >1.0 pairs would be asymmetric (a window flip
-    // mid-pair corrupts ratios in BOTH directions; discarding just the
-    // upward ones biases the median down — observed in a round-3 dry run:
-    // filtered median 0.57 vs all-pair median 0.86). The median absorbs
-    // corrupted pairs on either side; the headline is clamped to 1.0 with
-    // the raw value and every pair's times emitted for audit.
+    // base schedule: 5 (4,16) pairs for a stable median; 3 32-core rounds;
+    // one kernel pair after each group, 3 extra kernel reps at the end
+    val schedule = Seq(Seq(4, 16, 32), Seq(4, 16), Seq(4, 16, 32), Seq(4, 16), Seq(4, 16, 32))
+    schedule.foreach { group => group.foreach(runChild); runKernelPair() }
+    probe() // closing bracket
+    (1 to 3).foreach { _ => runKernelPair(); probe() }
+
+    // SELF-EVIDENCING RETRY (round-4): the recorded artifact must itself
+    // contain >=1 probe-clean (4,16) job pair, >=1 probe-clean 32-core
+    // round, and >=1 probe-clean kernel pair — round 3's run landed
+    // entirely inside a multi-minute throttle window and the artifact
+    // could not prove the gates on its own. Strategy: probe first; if the
+    // window is clean, run ONLY the missing measurement kinds; if dirty,
+    // sleep the window out. Bounded by attempts AND wall-clock.
+    val retryDeadline = System.nanoTime() + 12L * 60 * 1000 * 1000 * 1000
+    var attempts = 0
+    var retriesUsed = 0
+    while (attempts < 10 && System.nanoTime() < retryDeadline &&
+      (jobPairIdx.filter(jobPairClean).isEmpty || clean32Idx.isEmpty || kernelCleanIdx.isEmpty)) {
+      val pi = probe()
+      if (probes(pi) >= threshold) {
+        retriesUsed += 1
+        if (kernelCleanIdx.isEmpty) runKernelPair()
+        if (clean32Idx.isEmpty) runChild(32)
+        if (jobPairIdx.filter(jobPairClean).isEmpty) { runChild(4); runChild(16) }
+        probe() // closing bracket for whatever just ran
+      } else Thread.sleep(45000) // wait out the throttle window
+      attempts += 1
+    }
+
     def median(xs: Seq[Double]): Double =
       if (xs.isEmpty) Double.NaN
       else { val s = xs.sorted; (s((s.size - 1) / 2) + s(s.size / 2)) / 2.0 }
+    val results: Seq[(Int, (Long, Double))] = childCpus.toSeq.zip(childRes.toSeq)
+    def best(cpus: Int): (Long, Double) = {
+      val rs = results.collect { case (`cpus`, r) if !r._2.isNaN => r }
+      if (rs.isEmpty) (0L, Double.NaN) else (rs.head._1, rs.map(_._2).min)
+    }
+    val (_, sec4) = best(4)
+    val (_, sec16) = best(16)
+    val (n32, sec32anyRaw) = best(32)
+    // 32-core headline: best probe-CLEAN round when one exists (the
+    // self-evidencing value), else best-any with the source disclosed
+    val clean32s = clean32Idx.map(k => childRes(k)._2)
+    val sec32 = if (clean32s.nonEmpty) clean32s.min else sec32anyRaw
+    val local32Source = if (clean32s.nonEmpty) "probe_clean" else "best_any"
 
-    // pairs with their bracketing window probes: probes is chronological,
-    // so the probe AFTER any measurement is the next index past the probe
-    // taken before it — a (k, k+1) child pair spans probe indices
-    // childProbeIdx(k) .. childProbeIdx(k+1)+1
-    val probeRef = probes.max
-    def probesCleanIn(lo: Int, hi: Int): Boolean =
-      (lo to math.min(hi, probes.size - 1)).forall(i => probes(i) >= 0.85 * probeRef)
-    val pairEntries = (0 until results.size - 1).collect {
-      case k if childCpus(k) == 4 && childCpus(k + 1) == 16 &&
-        !childRes(k)._2.isNaN && !childRes(k + 1)._2.isNaN =>
-        val clean = probesCleanIn(childProbeIdx(k), childProbeIdx(k + 1) + 1)
-        (childRes(k)._2, childRes(k + 1)._2, clean)
-    }.toSeq
+    // PAIRED efficiency: each adjacent (4,16) pair ran back-to-back inside
+    // (usually) one noise window. Headline = median over probe-clean pairs;
+    // fallback = median over ALL pairs (max() cherry-picks upward — r2
+    // shipped an impossible 3.03 that way; asymmetric filtering biases
+    // down — observed 0.57 vs 0.86 in an r3 dry run). Clamped to 1.0, raw
+    // value + source + every pair emitted for audit.
+    val pairEntries = jobPairIdx.map(k => (childRes(k)._2, childRes(k + 1)._2, jobPairClean(k)))
     val jobPairs = pairEntries.map(p => (p._1, p._2))
     val jobEffs = jobPairs.map { case (a, b) => a / (4.0 * b) }
     val pairedMedianEff = median(jobEffs)
     val cleanEffs = pairEntries.collect { case (a, b, true) => a / (4.0 * b) }
     val jobCleanN = cleanEffs.size
-    val jobCleanEff = median(if (cleanEffs.nonEmpty) cleanEffs else jobEffs)
+    val jobCleanEff = if (cleanEffs.nonEmpty) median(cleanEffs) else Double.NaN
 
-    // kernel pairs: same probe-bracketed cleanliness criterion as the job
-    // pairs (a kernel pair sits between the probe at kernelProbeIdx(j) and
-    // the next probe)
     val kernelEffs = kernelPairs.toSeq.map { case (k4, k16) => k16 / (4.0 * k4) }
-    val kernelClean = kernelPairs.toSeq.zipWithIndex.collect {
-      case ((k4, k16), j) if probesCleanIn(kernelProbeIdx(j), kernelProbeIdx(j) + 1) =>
-        k16 / (4.0 * k4)
-    }
-    val kernelCleanN = kernelClean.size
-    val kernelEffRaw = median(if (kernelClean.nonEmpty) kernelClean else kernelEffs)
-    // efficiency > 1 is physically impossible — clamp, report raw alongside
-    val kernelEff = math.min(1.0, kernelEffRaw)
+    val kernelCleanEffs = kernelCleanIdx.map(j => kernelEffs(j))
+    val kernelCleanN = kernelCleanEffs.size
+    val kernelEffRaw = if (kernelCleanEffs.nonEmpty) median(kernelCleanEffs) else median(kernelEffs)
+    val kernelEff = math.min(1.0, kernelEffRaw) // efficiency > 1 is impossible
+    val kernelSource = if (kernelCleanEffs.nonEmpty) "clean_pairs" else "all_pairs_median"
     val k4 = kernelPairs.map(_._1).max
     val k16 = kernelPairs.map(_._2).max
     val dps4 = nDocs / sec4
     val dps16 = nDocs / sec16
     val dps32 = nDocs / sec32
-    val efficiency = dps16 / (4.0 * dps4)
+
+    // headline scaling efficiency + an explicit source label (ADVICE r3:
+    // never report a fallback under a 'clean' key without saying so).
+    // Preference: clean job pairs > clean KERNEL pairs > all-pair job
+    // median — the kernel estimator is bandwidth-isolated and is the
+    // quantity that transfers to a multi-executor scale-out (BASELINE.md);
+    // when every job pair straddled a throttle window, the clean kernel
+    // median is the best available UNCORRUPTED measurement, where the job
+    // median is a known-corrupted one.
+    val (headlineRaw, headlineSource) =
+      if (jobCleanN > 0) (jobCleanEff, "job_clean_pairs")
+      else if (kernelCleanN > 0) (kernelEffRaw, "kernel_clean_pairs")
+      else if (!pairedMedianEff.isNaN) (pairedMedianEff, "job_all_pairs_median")
+      else (dps16 / (4.0 * dps4), "levels_min_ratio")
+    val headlineEff = math.min(1.0, headlineRaw)
+    val outOfRange = headlineRaw > 1.0
 
     // per-query timings at the driver-provided parallelism
     val sq = session(cpus)
@@ -262,44 +279,56 @@ object Bench {
       name -> sec
     }
     sq.stop()
+    val total = queryTimes.map(_._2).sum
+
+    // NaN/Infinity are not valid JSON literals (a fully-failed pair set
+    // would otherwise make the whole driver line unparseable) → null
+    def num(v: Double): String = if (v.isNaN || v.isInfinite) "null" else f"$v%.4f"
+    def num2(v: Double): String = if (v.isNaN || v.isInfinite) "null" else f"$v%.2f"
+    def pairsJson(ps: Seq[(Double, Double)]): String =
+      ps.map { case (a, b) => s"[${num(a)},${num(b)}]" }.mkString("[", ",", "]")
+
+    // FULL evidence (probes, every pair, schedule, thresholds) goes to a
+    // committed file: round 3 proved the driver records only the TAIL of
+    // stdout, which truncated a ~4.5 KB line into an unparseable fragment.
+    // The stdout line stays compact (~2 KB) and self-sufficient for the
+    // gates; the file carries the audit trail.
+    val evidencePath = sys.env.getOrElse("SPARK_GRAFT_EVIDENCE", "/root/repo/BENCH_EVIDENCE.json")
+    val evidence = Seq(
+      "\"sf\":\"" + sfDir + "\"",
+      "\"nDocs\":" + nDocs,
+      "\"probe_floor\":" + num(probeFloor),
+      "\"probe_threshold\":" + num(threshold),
+      "\"retry_attempts\":" + attempts,
+      "\"retry_measurements\":" + retriesUsed,
+      "\"window_probes_media_per_sec\":" + probes.map(num).mkString("[", ",", "]"),
+      "\"child_cpus\":" + childCpus.mkString("[", ",", "]"),
+      "\"child_sec\":" + childRes.map(r => num(r._2)).mkString("[", ",", "]"),
+      "\"child_probe_idx\":" + childProbeIdx.mkString("[", ",", "]"),
+      "\"scaling_pairs_sec_4_16\":" + pairsJson(jobPairs),
+      "\"scaling_pairs_window_clean\":" + pairEntries.map(_._3).mkString("[", ",", "]"),
+      "\"clean_32_rounds_sec\":" + clean32s.map(num).mkString("[", ",", "]"),
+      "\"kernel_pairs_media_per_sec_4_16\":" + pairsJson(kernelPairs.toSeq),
+      "\"kernel_probe_idx\":" + kernelProbeIdx.mkString("[", ",", "]"),
+      "\"kernel_pairs_clean\":" + kernelPairs.indices.map(kernelCleanIdx.contains).mkString("[", ",", "]")
+    ).mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(evidencePath),
+      evidence.getBytes("UTF-8"))
 
     val extras = Seq(
       "extract_docs_per_sec_local4" -> dps4,
       "extract_docs_per_sec_local16" -> dps16,
       "extract_docs_per_sec_local32" -> dps32,
-      "extract_scaling_efficiency_4_to_16" -> efficiency,
       "extract_sec_local4" -> sec4,
       "extract_sec_local16" -> sec16,
       "extract_sec_local32" -> sec32,
       "extract_span_rows" -> n32.toDouble,
       "extract_docs" -> nDocs.toDouble,
-      "extract_scaling_efficiency_paired_median" -> pairedMedianEff,
-      "extract_scaling_efficiency_clean_pairs" -> jobCleanEff,
-      "extract_clean_pair_count" -> jobCleanN.toDouble,
       "kernel_media_per_sec_4t" -> k4,
-      "kernel_media_per_sec_16t" -> k16,
-      "kernel_clean_pair_count" -> kernelCleanN.toDouble,
-      "kernel_scaling_efficiency_raw" -> kernelEffRaw,
-      "kernel_scaling_efficiency_4_to_16" -> kernelEff)
-    // NaN/Infinity are not valid JSON literals (a fully-failed pair set
-    // would otherwise make the whole driver line unparseable) → null
-    def num(v: Double): String = if (v.isNaN || v.isInfinite) "null" else f"$v%.4f"
-    val qs = (queryTimes ++ extras)
-      .map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
-    val total = queryTimes.map(_._2).sum
-    // headline efficiency = median over the clean (window-uncorrupted)
-    // time-paired rounds, clamped to [0,1]; raw value, the all-pair median
-    // and every pair's (t4,t16)/(k4,k16) emitted for audit.
-    val headlineRaw =
-      if (!jobCleanEff.isNaN) jobCleanEff
-      else if (!pairedMedianEff.isNaN) pairedMedianEff
-      else efficiency
-    val headlineEff = math.min(1.0, headlineRaw)
-    val outOfRange = headlineRaw > 1.0
-    def pairsJson(ps: Seq[(Double, Double)]): String =
-      ps.map { case (a, b) => s"[${num(a)},${num(b)}]" }.mkString("[", ",", "]")
-    val probesJson = probes.map(p => num(p)).mkString("[", ",", "]")
-    val cleanJson = pairEntries.map(_._3).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec_local32":${num(dps32)},"scaling_efficiency":${num(headlineEff)},"scaling_efficiency_raw":${num(headlineRaw)},"scaling_out_of_range":$outOfRange,"scaling_pairs_sec_4_16":${pairsJson(jobPairs)},"scaling_pairs_window_clean":$cleanJson,"window_probes_media_per_sec":$probesJson,"kernel_pairs_media_per_sec_4_16":${pairsJson(kernelPairs.toSeq)}}""")
+      "kernel_media_per_sec_16t" -> k16)
+    val qs = (queryTimes.map { case (k, v) => k -> num2(v) } ++
+      extras.map { case (k, v) => k -> num(v) })
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${num2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec_local32":${num(dps32)},"local32_source":"$local32Source","local32_clean_rounds":${clean32s.size},"scaling_efficiency":${num(headlineEff)},"scaling_efficiency_raw":${num(headlineRaw)},"scaling_headline_source":"$headlineSource","scaling_out_of_range":$outOfRange,"job_clean_pair_count":$jobCleanN,"job_all_pair_median":${num(pairedMedianEff)},"kernel_scaling_efficiency_4_to_16":${num(kernelEff)},"kernel_scaling_efficiency_raw":${num(kernelEffRaw)},"kernel_scaling_source":"$kernelSource","kernel_clean_pair_count":$kernelCleanN,"evidence_file":"$evidencePath"}""")
   }
 }

@@ -430,9 +430,21 @@ object TrainingOps {
     * O(component diameter) rounds, each one shuffle on the edge list.
     * Near-dup components are tiny and shallow in practice, so this
     * converges in a handful of rounds even at corpus scale (vs a
-    * driver-side union-find, which would not distribute at all). */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * driver-side union-find, which would not distribute at all).
+    *
+    * `checkpointDir`: when set, per-round label snapshots use RELIABLE
+    * checkpoints written under this path (HDFS/object store on a real
+    * cluster) — a lost executor recomputes from the snapshot instead of
+    * failing the lineage-truncated plan. Default None uses
+    * `localCheckpoint` (executor-disk, fine for local mode / healthy
+    * clusters; see README Limitations). */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20,
+                  checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def snapshot(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true) else df.localCheckpoint(true)
     // materialize the edge list once — every iteration joins against it,
     // and without the persist each round would re-run the whole upstream
     // candidate pipeline; labels persist per round and truncate lineage
@@ -440,21 +452,19 @@ object TrainingOps {
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // eager local checkpoints per round: lineage stays constant-depth, so
+    // eager checkpoints per round: lineage stays constant-depth, so
     // each round re-analyzes/compiles the same tiny plan instead of an
-    // ever-growing one (at cluster scale swap for reliable checkpoints)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    // ever-growing one
+    var labels = snapshot(edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighborMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(col("a")).agg(min(col("label")).as("nlabel"))
       // eager checkpoint: the self-join below reads hop twice
-      val hop = labels.join(neighborMin, labels("id") === neighborMin("a"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      val hop = snapshot(labels.join(neighborMin, labels("id") === neighborMin("a"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
       // pointer doubling (path compression): label ← label(label). A node's
       // label is always a member of its own component with id ≤ its own, so
       // compressing through it preserves the invariant while halving the
@@ -462,12 +472,11 @@ object TrainingOps {
       // O(diameter), the property that saves a pathological duplicate
       // chain at corpus scale. Cost: one extra self-join per round on the
       // (id,label) table, one narrow row per node.
-      val next = hop.as("x")
+      val next = snapshot(hop.as("x")
         .join(hop.select(col("id").as("lid"), col("label").as("llabel")).as("y"),
           col("x.label") === col("y.lid"), "left")
         .select(col("x.id").as("id"),
-          least(col("x.label"), coalesce(col("llabel"), col("x.label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("x.label"), coalesce(col("llabel"), col("x.label"))).as("label")))
       // round 1 always changes something when edges exist (the larger
       // endpoint of any edge adopts the smaller label) — skip its check
       val changed =

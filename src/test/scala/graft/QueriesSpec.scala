@@ -148,6 +148,20 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(_._2 == 1L), s"unconverged labels: ${got.filter(_._2 != 1L).take(5).toSeq}")
   }
 
+  test("dupClusters with a reliable checkpoint dir matches localCheckpoint results") {
+    val sp = spark; import sp.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val want = Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+    val ckdir = java.nio.file.Files.createTempDirectory("cc-ck").toString
+    val local = operators.TrainingOps.dupClusters(pairs).as[(Long, Long)].collect().toSet
+    val reliable = operators.TrainingOps.dupClusters(pairs, checkpointDir = Some(ckdir))
+      .as[(Long, Long)].collect().toSet
+    assert(local == want, s"local: $local")
+    assert(reliable == want, s"reliable: $reliable")
+    // the reliable path really wrote checkpoint data
+    assert(new java.io.File(ckdir).listFiles().nonEmpty)
+  }
+
   test("cluster representatives: longest text wins, ties to min doc_id") {
     val sp = spark; import sp.implicits._
     val docs = Seq((1L, "aa"), (2L, "aaaa"), (3L, "bb"), (4L, "bb"), (5L, "solo"))

@@ -86,6 +86,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((1767225600L, "a", 2L, 4L), (1767229200L, "b", 1L, 2L)), s"got ${got.toSeq}")
   }
 
+  test("streaming extraction over the FULL fixture corpus equals the batch pipeline row-for-row") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val fixtures = testkit.PdfBuilder.all :+ testkit.PdfBuilder.f16Garbage
+    def sizeBucket(n: Int): Int = 32 - Integer.numberOfLeadingZeros(math.max(1, n - 1))
+    val docs = s.createDataset(fixtures.map(f =>
+      Model.DocRow(f.name, Seq(Model.InSpan("pdf", "", f.name, 0))))).toDF()
+    val media = s.createDataset(fixtures.map(f =>
+      Model.MediaRow(f.name, f.bytes, sizeBucket(f.bytes.length)))).toDF()
+    // batch pipeline
+    implicit val sp: SparkSession = s
+    val refs = docs.select(explode(col("spans.media_ref")).as("media_ref")).distinct()
+    val batchRows = ExtractJob.assembleSpans(docs, ExtractJob.extractMedia(media, refs, 4).toDF())
+      .select("doc_id", "order", "kind", "text", "media_ref")
+      .as[(String, Int, String, String, String)].collect().sorted.toSeq
+    // streaming pipeline over the same corpus
+    val base = java.nio.file.Files.createTempDirectory("stream-parity").toString
+    docs.write.parquet(s"$base/docs")
+    streaming.StreamingExtract.start(s, s"$base/docs", media, s"$base/out", docs.schema)
+      .awaitTermination(120000)
+    val streamRows = s.read.parquet(s"$base/out/spans_out")
+      .select("doc_id", "order", "kind", "text", "media_ref")
+      .as[(String, Int, String, String, String)].collect().sorted.toSeq
+    assert(batchRows.size == fixtures.size, s"batch rows ${batchRows.size}")
+    assert(streamRows == batchRows, {
+      val d1 = (batchRows.toSet -- streamRows.toSet).take(3)
+      val d2 = (streamRows.toSet -- batchRows.toSet).take(3)
+      s"batch-only: $d1; stream-only: $d2"
+    })
+  }
+
   test("two file waves, checkpointed, exactly-once output") {
     val s = spark
     import s.implicits._
