@@ -438,6 +438,19 @@ object SparkEntry {
         TrainingOps.scrubPii(
           t(s, d, "documents").select(col("doc_id"), col("text")).unionByName(planted))
       }),
+      // benchmark decontamination: the eval set is the 2 lowest-id corpus
+      // docs, so the scrub provably drops them (and their near-copies)
+      "q_decontaminate" -> ((s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        TrainingOps.decontaminate(docs, docs.orderBy(col("doc_id")).limit(2))
+          .select(col("doc_id"))
+      }),
+      // Gopher-style repetition filter inputs
+      "q_repetition" -> ((s: SparkSession, d: String) =>
+        TrainingOps.repetitionSignals(t(s, d, "documents"))),
+      // context-window assembly over the token-budget chunks
+      "q_packed_text" -> ((s: SparkSession, d: String) =>
+        TrainingOps.packChunks(t(s, d, "documents"), budget = 256)),
       "q_vocab_topk" -> ((s: SparkSession, d: String) =>
         TrainingOps.vocabTopK(t(s, d, "documents"), k = 100)),
       "q_normalize" -> ((s: SparkSession, d: String) =>
@@ -665,6 +678,29 @@ object SparkEntry {
         ("SELECT doc_id, source, nt AS n_tokens, " +
           "CAST(FLOOR(COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256) AS BIGINT) AS chunk_id " +
           "FROM (SELECT doc_id, source, CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS nt FROM documents) t"),
+      "q_decontaminate" ->
+        ("""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+           |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+           |  ELSE list_transform(range(1, len(toks) - 11), i -> array_to_string(list_slice(toks, i, i + 12), ' ')) END)) AS gr FROM t),
+           |ev AS (SELECT DISTINCT gr FROM g WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 2)),
+           |bad AS (SELECT DISTINCT doc_id FROM g JOIN ev USING (gr))
+           |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin),
+      "q_repetition" ->
+        ("""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+           |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+           |  ELSE list_transform(range(1, len(toks)), i -> array_to_string(list_slice(toks, i, i + 1), ' ')) END) AS gr FROM t),
+           |c AS (SELECT doc_id, gr, count(*) AS cnt FROM g GROUP BY doc_id, gr)
+           |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams, CAST(MAX(cnt) AS BIGINT) AS top_bigram_count,
+           |  MAX(cnt)::DOUBLE / SUM(cnt) AS top_bigram_fraction,
+           |  COUNT(*)::DOUBLE / SUM(cnt) AS distinct_bigram_ratio
+           |FROM c GROUP BY doc_id""".stripMargin),
+      "q_packed_text" ->
+        ("WITH c AS (SELECT doc_id, source, text, " +
+          "CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS nt FROM documents), " +
+          "w AS (SELECT doc_id, source, text, nt, " +
+          "CAST(FLOOR(COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256) AS BIGINT) AS chunk_id FROM c) " +
+          "SELECT source, chunk_id, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS chunk_tokens, " +
+          "string_agg(text, ' ' ORDER BY doc_id) AS packed_text FROM w GROUP BY source, chunk_id"),
       "q_vocab_topk" ->
         ("SELECT term, n FROM (SELECT term, count(*)::BIGINT AS n FROM " +
           "(SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents) t0 " +

@@ -666,6 +666,62 @@ object TrainingOps {
     docs.select(col("doc_id"), scrubbed.as("scrubbed"))
   }
 
+  /** Benchmark decontamination: drop every document sharing ANY word
+    * `n`-gram with the evaluation set — the standard leakage scrub a
+    * training pipeline runs against its eval benchmarks (13-gram overlap
+    * is the common convention). Exact, not probabilistic: eval n-grams
+    * are a distinct set (tiny next to the corpus — AQE broadcasts it) and
+    * the corpus side is a semi-join of exploded grams, so each doc's
+    * grams are checked map-side against the broadcast; contaminated ids
+    * then anti-join the corpus. At 100 TB the eval set is KBs-to-MBs of
+    * grams while the corpus is the big side — exactly the broadcast
+    * shape. Documents shorter than `n` tokens fall back to their whole
+    * text as one gram (shingles' contract), so exact copies of short
+    * eval rows are still caught. */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int = 13): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(shingles(col("text"), n))).as("g")).distinct()
+    val contaminated = docs
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), n))).as("g"))
+      .join(evalGrams, Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Repetition quality signals (the Gopher-style repetition filters):
+    * per document, the fraction of all word bigrams taken by the single
+    * most frequent bigram (boilerplate and degenerate repetition push it
+    * toward 1) plus the distinct-bigram ratio. Shaped for scale: explode
+    * → count per (doc_id, bigram) → per-doc max/sum — two partial-
+    * aggregated shuffles on small keys, never a per-doc O(n²) lambda. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"), explode(shingles(col("text"), 2)).as("g"))
+    grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        max(col("cnt")).as("top_bigram_count"),
+        count(lit(1)).as("n_distinct_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_count"),
+        (col("top_bigram_count").cast("double") / col("n_bigrams")).as("top_bigram_fraction"),
+        (col("n_distinct_bigrams").cast("double") / col("n_bigrams")).as("distinct_bigram_ratio"))
+  }
+
+  /** Context-window assembly: the text-materializing half of sequence
+    * packing — concatenate each [[tokenBudgetChunks]] chunk's documents
+    * (doc_id order) into one training-context string. One shuffle on
+    * (source, chunk_id); the collect_list buffer is bounded by the token
+    * budget itself (a chunk holds ≤ budget tokens by construction), so no
+    * unbounded aggregation state exists at any corpus size. */
+  def packChunks(docs: DataFrame, budget: Long = 2048): DataFrame = {
+    val chunked = tokenBudgetChunks(docs, budget)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    chunked.groupBy(col("source"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("chunk_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          s => s.getField("text")), " ").as("packed_text"))
+  }
+
   /** Sequence packing for training batches: assign each doc a chunk_id so
     * consecutive docs (by doc_id, within a `source` stratum) fill a token
     * budget — the standard pre-tokenization packing step. chunk_id =

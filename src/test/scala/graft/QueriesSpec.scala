@@ -245,6 +245,49 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s2.orderBy("doc_id").select("scrubbed").as[String].collect().toSeq)
   }
 
+  test("decontaminate drops docs sharing any 13-gram with the eval set") {
+    val sp = spark; import sp.implicits._
+    val evalText = (1 to 13).map(i => s"ev$i").mkString(" ")
+    val docs = Seq(
+      (1L, evalText), // exact eval copy
+      (2L, s"prefix words here $evalText and a suffix"), // embeds the eval 13-gram
+      (3L, (1 to 20).map(i => s"clean$i").mkString(" ")), // clean
+      (4L, "short clean doc")).toDF("doc_id", "text")
+    val eval_ = Seq((100L, evalText)).toDF("doc_id", "text")
+    val kept = operators.TrainingOps.decontaminate(docs, eval_)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L), s"kept $kept")
+    // short eval rows are caught as whole-text grams
+    val evalShort = Seq((101L, "short clean doc")).toDF("doc_id", "text")
+    val kept2 = operators.TrainingOps.decontaminate(docs, evalShort)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept2.contains(4L), s"kept2 $kept2")
+  }
+
+  test("repetition signals: top-bigram fraction and distinct ratio") {
+    val sp = spark; import sp.implicits._
+    // "a b a b a": bigrams = [a b, b a, a b, b a] -> n=4, top=2
+    val docs = Seq((1L, "a b a b a"), (2L, "w x y z")).toDF("doc_id", "text")
+    val got = operators.TrainingOps.repetitionSignals(docs)
+      .select("doc_id", "n_bigrams", "top_bigram_count", "top_bigram_fraction", "distinct_bigram_ratio")
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 4L, 2L, 0.5, 0.5), (2L, 3L, 1L, 1.0 / 3, 1.0)), s"got $got")
+  }
+
+  test("packChunks concatenates chunk texts in doc_id order with bounded buffers") {
+    val sp = spark; import sp.implicits._
+    // 3 tokens/doc, budget 5: s1 chunk0 = docs 1,2; chunk1 = doc 3
+    val docs = Seq((1L, "a b c", "s1"), (2L, "d e f", "s1"), (3L, "g h i", "s1"),
+      (4L, "j k l", "s2")).toDF("doc_id", "text", "source")
+    val got = operators.TrainingOps.packChunks(docs, budget = 5)
+      .select("source", "chunk_id", "n_docs", "chunk_tokens", "packed_text")
+      .as[(String, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      ("s1", 0L, 2L, 6L, "a b c d e f"),
+      ("s1", 1L, 1L, 3L, "g h i"),
+      ("s2", 0L, 1L, 3L, "j k l")), s"got $got")
+  }
+
   test("word diversity: distinct/total token ratio") {
     val sp = spark; import sp.implicits._
     val docs = Seq((1L, "a b a b"), (2L, "x y z")).toDF("doc_id", "text")
