@@ -200,11 +200,18 @@ object TrainingOps {
                         numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val cands = minhashLshPairs(docs, numHashes, bands, shingleK)
     // exact shingle sets only for candidate docs (semi-join first): at scale
-    // the candidate set is orders of magnitude smaller than the corpus
+    // the candidate set is orders of magnitude smaller than the corpus.
+    // The explicit repartition matters: `sets` feeds BOTH the doc_a and
+    // doc_b join branches below, and without an exchange of its own the
+    // broadcast semi-join leaves nothing for ReuseExchange to share — the
+    // corpus scan + shingle computation would run once per branch. With
+    // it, the scan/shingle pass runs once and both branches read the
+    // shuffle (verified: ngram plan has 2 FileScans total, not 3).
     val candIds = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
     val sets = docs.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), array_distinct(shingles(col("text"), shingleK)).as("sh"))
+      .repartition(col("doc_id"))
     cands
       .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
       .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), Seq("doc_b"))

@@ -104,6 +104,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kernels == 1, s"$kernels MapPartitions (want 1):\n$p")
   }
 
+  test("ngram jaccard plans exactly 2 corpus scans: signature pass + shared shingle pass") {
+    val df = operators.TrainingOps.ngramJaccardPairs(
+      spark.read.parquet(s"$sfDir/documents.parquet"), threshold = 0.5)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // stage 1 (LSH signatures) scans once; stage 2 (exact shingle sets)
+    // scans once and is exchange-shared by the doc_a/doc_b join branches —
+    // without the repartition in ngramJaccardPairs the shingle pass would
+    // plan per branch (3 scans)
+    val scans = "FileScan".r.findAllIn(p).size
+    val kernels = "MapPartitions".r.findAllIn(p).size
+    assert(scans == 2, s"$scans FileScans (want 2):\n$p")
+    assert(kernels == 1, s"$kernels MapPartitions (want 1):\n$p")
+  }
+
   test("token packing shuffles on the source stratum, never a global sort") {
     val df = operators.TrainingOps.tokenBudgetChunks(
       spark.read.parquet(s"$sfDir/documents.parquet"), budget = 256)
