@@ -254,6 +254,31 @@ object SparkEntry {
       TimedDoc(200, "zeta text six", "web", ts(2, 10)))
   }
 
+  /** Near-dedup stream waves: doc 3 repeats doc 1's sentence one more
+    * time — a DIFFERENT text with the SAME 3-word shingle set, hence the
+    * same minhash signature (the high-similarity tier the streaming
+    * near-dedup suppresses and exact dedup would keep); doc 5 is an exact
+    * dup of doc 2; doc 4 is unrelated and kept. */
+  private def nearStreamWave1: Seq[graft.streaming.StreamingOps.TimedDoc] = {
+    import graft.streaming.StreamingOps.TimedDoc
+    def ts(m: Int) = new java.sql.Timestamp(1767225600000L + m * 60000L)
+    Seq(
+      TimedDoc(1, "x y z x y z", "web", ts(0)),
+      TimedDoc(2, "totally different content here now", "web", ts(1)))
+  }
+  private def nearStreamWave2: Seq[graft.streaming.StreamingOps.TimedDoc] = {
+    import graft.streaming.StreamingOps.TimedDoc
+    def ts(m: Int) = new java.sql.Timestamp(1767225600000L + m * 60000L)
+    Seq(
+      TimedDoc(3, "x y z x y z x y z", "web", ts(2)), // near-dup of 1: same shingle set
+      TimedDoc(4, "p q r s t u v", "web", ts(3)),
+      TimedDoc(5, "totally different content here now", "web", ts(4))) // exact dup of 2
+  }
+  private def nearStreamDedupOracle: String =
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM (VALUES " +
+      "(1, 'x y z x y z'), (2, 'totally different content here now'), " +
+      "(4, 'p q r s t u v')) AS t(doc_id, text)"
+
   /** Order-aware oracle: first-seen-wins across waves — within a wave the
     * minimal doc_id per text, across waves the earlier wave's winner. */
   private def streamDedupOracle: String = {
@@ -509,6 +534,18 @@ object SparkEntry {
         graft.streaming.StreamingOps.runDedupStream(s, s"$tmp/in", s"$tmp/out")
         s.read.parquet(s"$tmp/out/deduped").select(col("doc_id"), col("text"))
       }),
+      // cross-batch streaming NEAR-dedup: minhash-signature state keys —
+      // wave 2's doc 3 is a different text with the same shingle set as
+      // doc 1 and must be suppressed across the checkpointed restart
+      "x_stream_neardedup" -> ((s: SparkSession, _: String) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-sneardedup").toString
+        s.createDataset(nearStreamWave1).toDF().write.mode("append").parquet(s"$tmp/in")
+        graft.streaming.StreamingOps.runDedupStream(s, s"$tmp/in", s"$tmp/out", near = true)
+        s.createDataset(nearStreamWave2).toDF().write.mode("append").parquet(s"$tmp/in")
+        graft.streaming.StreamingOps.runDedupStream(s, s"$tmp/in", s"$tmp/out", near = true)
+        s.read.parquet(s"$tmp/out/deduped").select(col("doc_id"), col("text"))
+      }),
       // Structured-Streaming surface: file-source micro-batches through the
       // same operators, AvailableNow trigger, checkpointed sink
       "x_stream_extract" -> ((s: SparkSession, _: String) => {
@@ -723,6 +760,7 @@ object SparkEntry {
       "x_stream_extract" -> extractionOracle(fx(streamFixtures: _*)),
       "x_stream_window" -> streamWindowOracle,
       "x_stream_dedup" -> streamDedupOracle,
+      "x_stream_neardedup" -> nearStreamDedupOracle,
       "x_resume" -> resumeOracle)
     (extraction ++ sql).toMap
   }

@@ -61,6 +61,38 @@ object TrainingOps {
     x ^ (x >>> 31)
   }
 
+  /** The minhash signature of one text — the single implementation shared
+    * by the batch pass ([[minhash]]) and the streaming near-dup key
+    * (StreamingOps.dedupNearStream), so both tiers agree on what "same
+    * signature" means. Allocation-lean hot loop: signature of the k-word
+    * shingle SET (so texts with equal shingle sets — e.g. a sentence
+    * repeated 2× vs 3× — get identical signatures). */
+  def minhashSig(text: String, numHashes: Int = 16, shingleK: Int = 3): Array[Long] = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = math.max(1, toks.length - shingleK + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < shingleK && i + j < toks.length) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val h0 = fnv64(sb.toString)
+      var h = 0
+      while (h < numHashes) {
+        val v = mix64(h0 + h * 0x632be59bd9b4e019L)
+        if (v < sig(h)) sig(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
   /** MinHash signatures via a typed per-partition pass. Kept OFF the
     * Catalyst expression path on purpose: signature computation is the
     * one hot loop here, higher-order SQL lambdas run interpreted (no
@@ -73,33 +105,8 @@ object TrainingOps {
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
-      .mapPartitions { it =>
-        it.map { case (id, text) =>
-          val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
-          val sig = Array.fill(numHashes)(Long.MaxValue)
-          val n = math.max(1, toks.length - shingleK + 1)
-          val sb = new java.lang.StringBuilder(64)
-          var i = 0
-          while (i < n) {
-            sb.setLength(0)
-            var j = 0
-            while (j < shingleK && i + j < toks.length) {
-              if (j > 0) sb.append(' ')
-              sb.append(toks(i + j))
-              j += 1
-            }
-            val h0 = fnv64(sb.toString)
-            var h = 0
-            while (h < numHashes) {
-              val v = mix64(h0 + h * 0x632be59bd9b4e019L)
-              if (v < sig(h)) sig(h) = v
-              h += 1
-            }
-            i += 1
-          }
-          (id, sig)
-        }
-      }.toDF("doc_id", "minhash")
+      .mapPartitions(_.map { case (id, text) => (id, minhashSig(text, numHashes, shingleK)) })
+      .toDF("doc_id", "minhash")
   }
 
   /** MinHash + LSH banding: docs sharing any band bucket become candidate

@@ -67,16 +67,44 @@ object StreamingOps {
     * dedup state from the committed output if first-seen history must be
     * preserved). */
   def dedupByTextStream(docs: Dataset[TimedDoc],
-                        retention: Option[String] = None): Dataset[TimedDoc] = {
+                        retention: Option[String] = None): Dataset[TimedDoc] =
+    dedupStreamByKey(docs, retention)(d =>
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(d.text),
+        org.apache.spark.sql.types.StringType, 42L))
+
+  /** Streaming NEAR-duplicate suppression (high-similarity tier): the
+    * state key is the document's full 16-hash minhash signature (folded
+    * to 64 bits), computed by the SAME `TrainingOps.minhashSig` the batch
+    * LSH pipeline uses. Two texts collide exactly when their 3-word
+    * shingle SETS produce an identical signature — all 16 min-hashes
+    * equal, which for estimated jaccard j happens with probability j^16,
+    * i.e. this catches the j ≳ 0.95 near-dup tier (a sentence repeated 2×
+    * vs 3×, trailing-whitespace variants, reshuffled duplicate
+    * boilerplate) while the banding tier (any-band match, j ≥ 0.5)
+    * remains a batch op — multi-key verdicts per doc don't fit a single
+    * flatMapGroupsWithState key. Same state contract as
+    * [[dedupByTextStream]]: first-seen-wins, 8-byte keys, optional
+    * event-time TTL. */
+  def dedupNearStream(docs: Dataset[TimedDoc],
+                      retention: Option[String] = None): Dataset[TimedDoc] =
+    dedupStreamByKey(docs, retention) { d =>
+      val sig = graft.operators.TrainingOps.minhashSig(d.text)
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < sig.length) { h = (h ^ sig(i)) * 0x100000001b3L; i += 1 }
+      h
+    }
+
+  private def dedupStreamByKey(docs: Dataset[TimedDoc], retention: Option[String])
+                              (key: TimedDoc => Long): Dataset[TimedDoc] = {
     import docs.sparkSession.implicits._
     val retMs = retention.map(parseDurationMs)
     val in = retention.map(r => docs.withWatermark("event_time", r)).getOrElse(docs)
     val timeoutConf =
       if (retention.isDefined) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
-    in.groupByKey(d => org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-        org.apache.spark.unsafe.types.UTF8String.fromString(d.text),
-        org.apache.spark.sql.types.StringType, 42L))
+    in.groupByKey(key)
       .flatMapGroupsWithState[Long, TimedDoc](OutputMode.Append, timeoutConf) {
         (_: Long, rows: Iterator[TimedDoc], state: GroupState[Long]) =>
           if (state.hasTimedOut) {
@@ -120,13 +148,17 @@ object StreamingOps {
   }
 
   /** Run the streaming dedup over a file-source directory with an
-    * AvailableNow trigger; returns after the sink is complete. */
+    * AvailableNow trigger; returns after the sink is complete.
+    * `near = true` routes through [[dedupNearStream]] (minhash-signature
+    * keys) instead of exact text keys — use a fresh checkpointLocation
+    * when switching modes (different key space). */
   def runDedupStream(spark: SparkSession, inDir: String, outDir: String,
-                     retention: Option[String] = None): Unit = {
+                     retention: Option[String] = None, near: Boolean = false): Unit = {
     import spark.implicits._
     val schema = org.apache.spark.sql.Encoders.product[TimedDoc].schema
     val in = spark.readStream.schema(schema).parquet(inDir).as[TimedDoc]
-    val q: StreamingQuery = dedupByTextStream(in, retention).writeStream
+    val deduped = if (near) dedupNearStream(in, retention) else dedupByTextStream(in, retention)
+    val q: StreamingQuery = deduped.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())

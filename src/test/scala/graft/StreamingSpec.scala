@@ -66,6 +66,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(1L, 2L, 9L), s"got ${got.toSeq}")
   }
 
+  test("streaming near-dedup suppresses same-signature texts across restarts, keeps distinct ones") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingOps
+    import StreamingOps.TimedDoc
+    def ts(m: Int) = new java.sql.Timestamp(1767225600000L + m * 60000L)
+    val base = java.nio.file.Files.createTempDirectory("sneardedup-spec").toString
+    // "a b c a b c" (2x) and (3x) share the same 3-shingle SET -> same
+    // minhash signature -> near-dups even though the texts differ
+    val wave1 = Seq(TimedDoc(1, "a b c a b c", "w", ts(0)),
+      TimedDoc(2, "unrelated words entirely here", "w", ts(1)))
+    val wave2 = Seq(TimedDoc(3, "a b c a b c a b c", "w", ts(2)), // near-dup of 1, across restart
+      TimedDoc(4, "another clean document body", "w", ts(3)))
+    s.createDataset(wave1).toDF().write.mode("append").parquet(s"$base/in")
+    StreamingOps.runDedupStream(s, s"$base/in", s"$base/out", near = true)
+    s.createDataset(wave2).toDF().write.mode("append").parquet(s"$base/in")
+    StreamingOps.runDedupStream(s, s"$base/in", s"$base/out", near = true)
+    val got = s.read.parquet(s"$base/out/deduped").select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 4L), s"got ${got.toSeq}")
+    // sanity: batch minhash agrees the signatures match / differ as claimed
+    val sig1 = operators.TrainingOps.minhashSig("a b c a b c")
+    assert(sig1.sameElements(operators.TrainingOps.minhashSig("a b c a b c a b c")))
+    assert(!sig1.sameElements(operators.TrainingOps.minhashSig("another clean document body")))
+  }
+
   test("watermarked windowed metrics aggregate by event-time window") {
     val s = spark
     import s.implicits._
