@@ -374,7 +374,31 @@ object SparkEntry {
         t(s, d, "events").groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
             countDistinct(col("user_id")).as("n_users"),
-            sum(round(col("value") * 1000).cast("long")).as("sum_value_milli"))))
+            sum(round(col("value") * 1000).cast("long")).as("sum_value_milli"))),
+
+      // gap-based sessionization (30-min inactivity closes a session):
+      // ONE shuffle on user_id — the lag window, the running-sum window
+      // and the (user_id, session_idx) aggregation all reuse it (the agg's
+      // clustering keys are a superset of the partitioning)
+      "q_sessionize" -> ((s: SparkSession, d: String) => {
+        // ordering by tus ≡ ordering by ts (epoch micros are injective)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+        t(s, d, "events")
+          // ts is TIMESTAMP_NTZ in the parquet; sessions run UTC, so the
+          // cast is epoch-exact and matches DuckDB's naive epoch_us(ts)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("tus"))
+          .withColumn("prev", lag(col("tus"), 1).over(w))
+          .withColumn("ns", when(col("prev").isNull ||
+            col("tus") - col("prev") > 1800L * 1000000, 1).otherwise(0))
+          .withColumn("session_idx", sum(col("ns")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("tus")).as("start_us"),
+            (max(col("tus")) - min(col("tus"))).as("dur_us"))
+      }))
 
     val training: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q_dedup_exact" -> ((s: SparkSession, d: String) =>
@@ -642,6 +666,14 @@ object SparkEntry {
         ("SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users, " +
           "CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli " +
           "FROM events GROUP BY event_type"),
+      "q_sessionize" ->
+        ("""WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS tus FROM events),
+           |g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM g)
+           |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,
+           |  CAST(MIN(tus) AS BIGINT) AS start_us, CAST(MAX(tus) - MIN(tus) AS BIGINT) AS dur_us
+           |FROM s GROUP BY user_id, session_idx""".stripMargin),
       "q_dedup_exact" ->
         "SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count FROM documents GROUP BY text",
       "q_token_count" ->

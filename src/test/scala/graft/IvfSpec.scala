@@ -37,6 +37,18 @@ class IvfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total > 0)
   }
 
+  test("Lloyd-refined (KMeans) quantizer is deterministic and searchable") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.orderBy(col("vec_id")).limit(2)
+    def fit() = operators.TrainingOps.ivfCentroids(e, nCells = 8, kmeans = true, sampleFraction = 0.5)
+    val c1 = fit()
+    val c2 = fit()
+    assert(c1.length == 8)
+    c1.zip(c2).foreach { case (a, b) => assert(a.sameElements(b)) } // seeded -> reproducible
+    val res = operators.TrainingOps.knnIvf(e, q, dim = 64, k = 5, nCells = 8, centroids0 = c1)
+    assert(res.count() > 0)
+  }
+
   test("IVF quantizer persists and loads bit-identically; search through it matches") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.orderBy(col("vec_id")).limit(3)

@@ -18,6 +18,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -127,6 +128,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a global ORDER BY would plan rangepartitioning / a single partition
     assert(!p.contains("rangepartitioning"), p)
     assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("sessionize: one shuffle on user_id shared by both windows and the aggregation") {
+    val df = SparkEntry.queries("q_sessionize")(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // lag window, running-sum window and the (user_id, session_idx) agg
+    // must all sit on ONE hashpartitioning(user_id) exchange
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"$exchanges exchanges (want 1):\n$p")
   }
 
   test("extraction pipeline: single exchange per side, salted repartition present") {
