@@ -206,6 +206,29 @@ object SparkEntry {
     s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(media_ref, width, height, f_first, f_mid, f_last)"
   }
 
+  /** By-construction oracle for q_media_resize: the same resizeImage +
+    * CRC32 invoked at oracle-build time over the same synthetic PNGs. */
+  private def mediaResizeOracle: String = {
+    val rows = syntheticImages.map { case (ref, bytes) =>
+      val r = MediaOps.resizeImage(bytes, 20, 20)
+      val crc = new java.util.zip.CRC32()
+      crc.update(r.out_bytes)
+      s"(${sqlStr(ref)}, ${r.in_w}, ${r.in_h}, ${r.out_w}, ${r.out_h}, " +
+        s"CAST(${crc.getValue} AS BIGINT), ${r.out_bytes.length})"
+    }
+    s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(media_ref, in_w, in_h, out_w, out_h, out_crc, out_len)"
+  }
+
+  /** By-construction oracle for q_media_frames (stub decode, real fan-out). */
+  private def mediaFramesOracle: String = {
+    val rows = (PdfBuilder.all :+ PdfBuilder.f16Garbage).flatMap { f =>
+      MediaOps.stubFrames(f.bytes, everyNth = 7, maxFrames = 5).map { case (idx, len, crc) =>
+        s"(${sqlStr(f.name)}, $idx, $len, CAST($crc AS BIGINT))"
+      }
+    }
+    s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(media_ref, frame_idx, frame_len, frame_crc)"
+  }
+
   private val udfFixtures = Seq("f01_minimal_flate", "f13_tj_kerning")
   private def sqlUdfOracle: String = {
     val rows = fx(udfFixtures: _*).map(f =>
@@ -520,6 +543,28 @@ object SparkEntry {
             element_at(col("feature"), 8).as("f_mid"),
             element_at(col("feature"), 16).as("f_last"))
       }),
+      // REAL aspect-preserving image resize (JDK) over synthetic PNGs;
+      // compared via decode-exact dims + CRC32 of the re-encoded bytes
+      "q_media_resize" -> ((s: SparkSession, _: String) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val media = sp.createDataset(syntheticImages.map { case (ref, bytes) =>
+          (ref, "image/png", bytes)
+        }).toDF("media_ref", "kind", "bytes")
+        MediaOps.resizeImages(media, maxW = 20, maxH = 20).toDF()
+          .select(col("media_ref"), col("in_w"), col("in_h"), col("out_w"), col("out_h"),
+            crc32(col("out_bytes")).as("out_crc"),
+            octet_length(col("out_bytes")).as("out_len"))
+      }),
+      // video frame sampling: stubbed decode, REAL one-row→N-frames
+      // fan-out plumbing with a bounded cap
+      "q_media_frames" -> ((s: SparkSession, _: String) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val media = sp.createDataset((PdfBuilder.all :+ PdfBuilder.f16Garbage).map(f =>
+          (f.name, "video/mp4", f.bytes))).toDF("media_ref", "kind", "bytes")
+        MediaOps.frameSample(media, everyNth = 7, maxFrames = 5).toDF()
+      }),
       // SQL-UDF surface, driver-gated with an exact VALUES oracle
       "x_sql_udf" -> ((s: SparkSession, _: String) => {
         graft.functions.PdfFunctions.register(s)
@@ -788,6 +833,8 @@ object SparkEntry {
       "q_semantic_dup_pairs" -> semanticOracle,
       "q_media_features" -> mediaOracle,
       "q_media_image" -> mediaImageOracle,
+      "q_media_resize" -> mediaResizeOracle,
+      "q_media_frames" -> mediaFramesOracle,
       "x_sql_udf" -> sqlUdfOracle,
       "x_stream_extract" -> extractionOracle(fx(streamFixtures: _*)),
       "x_stream_window" -> streamWindowOracle,

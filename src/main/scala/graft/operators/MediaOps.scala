@@ -135,26 +135,116 @@ object MediaOps {
   def featurize(media: DataFrame, dim: Int = 16, numPartitions: Int = 0,
                 heavyBucket: Int = 22 /* 4 MB */)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
+    routedFlatMap(media, numPartitions, heavyBucket) { m =>
+      val (w, h, feat) = decode(m.kind, m.bytes, dim)
+      Iterator.single(MediaFeatures(m.media_ref, m.kind, m.bytes.length.toLong, w, h, feat))
+    }
+  }
+
+  /** Shared hybrid-skew-routed per-media pass: typical payloads process in
+    * the scan stage (narrow, bytes never shuffle); only the oversized tail
+    * pays a salted repartition. NULL buckets (schema-evolved files
+    * predating the column) route small — a row must never be silently
+    * dropped by the branch split. */
+  private def routedFlatMap[T: org.apache.spark.sql.Encoder](
+      media: DataFrame, numPartitions: Int, heavyBucket: Int)(
+      f: MediaMeta => Iterator[T])(implicit spark: SparkSession): Dataset[T] = {
+    import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions else spark.sessionState.conf.numShufflePartitions
     val withBucket =
       if (media.columns.contains("size_bucket")) media
       else media.withColumn("size_bucket",
         ceil(log2(greatest(octet_length(col("bytes")).cast("long"), lit(2L)))).cast("int"))
     val work = withBucket.select(col("media_ref"), col("kind"), col("bytes"), col("size_bucket"))
-    def run(df: DataFrame): Dataset[MediaFeatures] =
-      df.select(col("media_ref"), col("kind"), col("bytes")).as[MediaMeta].mapPartitions { it =>
-        // per-partition reused scratch would live here for a real codec
-        it.map { m =>
-          val (w, h, feat) = decode(m.kind, m.bytes, dim)
-          MediaFeatures(m.media_ref, m.kind, m.bytes.length.toLong, w, h, feat)
-        }
-      }
-    // NULL buckets (schema-evolved files predating the column) route small:
-    // a row must never be silently dropped by the branch split
+    def run(df: DataFrame): Dataset[T] =
+      df.select(col("media_ref"), col("kind"), col("bytes")).as[MediaMeta]
+        .mapPartitions(_.flatMap(f)) // per-partition reused scratch would live here for a real codec
     val small = work.where(col("size_bucket") <= heavyBucket || col("size_bucket").isNull)
     val heavy = work.where(col("size_bucket") > heavyBucket)
       .withColumn("salt", pmod(xxhash64(col("media_ref")), lit(parts)))
       .repartition(parts, col("size_bucket"), col("salt"))
     run(small).union(run(heavy))
+  }
+
+  case class ResizedImage(media_ref: String, in_w: Int, in_h: Int,
+                          out_w: Int, out_h: Int, out_bytes: Array[Byte])
+
+  /** REAL aspect-preserving image resize (pure JDK): decode via ImageIO,
+    * nearest-neighbour downscale to fit (maxW, maxH) — integer source
+    * indexing, so the output pixels are decode-exact and deterministic
+    * across platforms — re-encode as PNG. Returns null when no JDK codec
+    * claims the payload. Public so the by-construction oracle can invoke
+    * the identical function. */
+  def resizeImage(bytes: Array[Byte], maxW: Int, maxH: Int): ResizedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) return null
+    val inW = img.getWidth
+    val inH = img.getHeight
+    val scale = math.min(1.0, math.min(maxW.toDouble / inW, maxH.toDouble / inH))
+    val outW = math.max(1, math.floor(inW * scale).toInt)
+    val outH = math.max(1, math.floor(inH * scale).toInt)
+    val out = new java.awt.image.BufferedImage(outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < outH) {
+      val sy = math.min(inH - 1, y * inH / outH)
+      var x = 0
+      while (x < outW) {
+        out.setRGB(x, y, img.getRGB(math.min(inW - 1, x * inW / outW), sy))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    ResizedImage("", inW, inH, outW, outH, bos.toByteArray)
+  }
+
+  /** Distributed thumbnailing: every JDK-decodable image resized to fit
+    * the bounding box; undecodable payloads are dropped (they carry no
+    * raster to resize — route them through [[featurize]]'s stub instead).
+    * Same hybrid skew routing as featurize. */
+  def resizeImages(media: DataFrame, maxW: Int, maxH: Int, numPartitions: Int = 0,
+                   heavyBucket: Int = 22)(implicit spark: SparkSession): Dataset[ResizedImage] = {
+    import spark.implicits._
+    routedFlatMap(media, numPartitions, heavyBucket) { m =>
+      try {
+        val r = resizeImage(m.bytes, maxW, maxH)
+        if (r == null) Iterator.empty else Iterator.single(r.copy(media_ref = m.media_ref))
+      } catch { case _: Exception => Iterator.empty }
+    }
+  }
+
+  case class SampledFrame(media_ref: String, frame_idx: Int, frame_len: Int, frame_crc: Long)
+
+  /** STUB video frame decode (declared — no video codec exists in the
+    * JDK): deterministic pseudo-frames derived from the payload hash, so
+    * the one-row→N-frame-rows plumbing (schema, flatMap fan-out, skew
+    * routing, bounded maxFrames) is real and testable end-to-end; swap
+    * for a JNI codec in production. Public for the oracle builder. */
+  def stubFrames(bytes: Array[Byte], everyNth: Int, maxFrames: Int): Seq[(Int, Int, Long)] = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    val totalFrames = 8 + math.floorMod(h, 120).toInt // stub "video length"
+    (0 until totalFrames by everyNth).take(maxFrames).map { idx =>
+      var s = h + idx * 0x9e3779b97f4a7c15L
+      s = (s ^ (s >>> 30)) * 0xbf58476d1ce4e5b9L
+      (idx, 1024 + math.floorMod(s, 4096).toInt, s ^ (s >>> 27))
+    }
+  }
+
+  /** Frame sampling over video payloads: one media row fans out to its
+    * sampled frames (every `everyNth`, capped at `maxFrames` — the cap
+    * bounds the fan-out so a pathological 10-hour payload cannot blow a
+    * partition). Decode itself is the declared stub above. */
+  def frameSample(media: DataFrame, everyNth: Int = 10, maxFrames: Int = 16,
+                  numPartitions: Int = 0, heavyBucket: Int = 22)
+                 (implicit spark: SparkSession): Dataset[SampledFrame] = {
+    import spark.implicits._
+    routedFlatMap(media, numPartitions, heavyBucket) { m =>
+      stubFrames(m.bytes, everyNth, maxFrames).iterator.map { case (idx, len, crc) =>
+        SampledFrame(m.media_ref, idx, len, crc)
+      }
+    }
   }
 }

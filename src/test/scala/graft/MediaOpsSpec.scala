@@ -50,6 +50,35 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(feat.forall(f => f > 0.1f && f < 0.4f), feat.mkString(","))
   }
 
+  test("resizeImage: aspect-preserving fit, never upscales, round-trips through PNG") {
+    val r = MediaOps.resizeImage(png(40, 16), 20, 20)
+    assert((r.in_w, r.in_h) == (40, 16))
+    assert((r.out_w, r.out_h) == (20, 8)) // scale 0.5 preserves 5:2
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.out_bytes))
+    assert(back.getWidth == 20 && back.getHeight == 8)
+    // nearest-neighbour: output pixel (x,y) equals source pixel (2x, 2y)
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png(40, 16)))
+    assert((back.getRGB(3, 2) & 0xffffff) == (src.getRGB(6, 4) & 0xffffff))
+    // small images pass through at original size (no upscale)
+    val small = MediaOps.resizeImage(png(10, 5), 20, 20)
+    assert((small.out_w, small.out_h) == (10, 5))
+    // deterministic bytes
+    assert(MediaOps.resizeImage(png(40, 16), 20, 20).out_bytes.toSeq == r.out_bytes.toSeq)
+    // undecodable -> null
+    assert(MediaOps.resizeImage("junk".getBytes, 20, 20) == null)
+  }
+
+  test("frameSample stub: deterministic, stride respected, fan-out capped") {
+    val bytes = "pretend this is a video".getBytes
+    val f1 = MediaOps.stubFrames(bytes, everyNth = 7, maxFrames = 5)
+    assert(f1 == MediaOps.stubFrames(bytes, 7, 5))
+    assert(f1.size <= 5 && f1.nonEmpty)
+    assert(f1.map(_._1) == f1.map(_._1).sorted)
+    assert(f1.forall(_._1 % 7 == 0))
+    // the cap bounds even a stride-1 sweep
+    assert(MediaOps.stubFrames(bytes, 1, 16).size <= 16)
+  }
+
   test("decode dispatch: pdf payload falls back to the deterministic stub") {
     val bytes = "not an image".getBytes
     val (w, h, f1) = MediaOps.decode("application/pdf", bytes, 4)
