@@ -148,11 +148,17 @@ object Bench {
     // probe also landed in the window. The floor is this host's measured
     // clean single-thread kernel rate (700-780 across rounds 2-3, ~5%
     // build-to-build drift), overridable via SPARK_GRAFT_PROBE_FLOOR.
-    val probeFloor = sys.env.get("SPARK_GRAFT_PROBE_FLOOR").map(_.toDouble).getOrElse(640.0)
+    // Calibration (round 4): with factor 0.85 / floor 640 a run whose
+    // probes sat at 620-660 — a MILD throttle — had its pairs labeled
+    // clean and medianed 0.68, while truly clean windows (700-780)
+    // measure 0.88; 0.88 × floor 680 excludes the mild-throttle band, and
+    // the retry loop then hunts for genuinely clean windows instead of
+    // certifying tepid ones.
+    val probeFloor = sys.env.get("SPARK_GRAFT_PROBE_FLOOR").map(_.toDouble).getOrElse(680.0)
     val probeMedia = kMedia.take(250)
     val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
     def probe(): Int = { probes += graft.testkit.KernelBench.run(probeMedia, 1); probes.size - 1 }
-    def threshold: Double = 0.85 * math.max(probes.max, probeFloor)
+    def threshold: Double = 0.88 * math.max(probes.max, probeFloor)
     def probesCleanIn(lo: Int, hi: Int): Boolean =
       (lo to math.min(hi, probes.size - 1)).forall(i => probes(i) >= threshold)
 

@@ -399,6 +399,39 @@ object SparkEntry {
             countDistinct(col("user_id")).as("n_users"),
             sum(round(col("value") * 1000).cast("long")).as("sum_value_milli"))),
 
+      // ROLLUP subtotals (grouping-sets family); explicit 'ALL' labels
+      // instead of the NULL group markers so the compare is unambiguous
+      "q_rollup_pricing" -> ((s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+          .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+            col("n"), col("sum_qty"))),
+
+      // pivot events to one row per user with per-type counts — the
+      // portable CASE formulation (identical semantics in any engine)
+      "q_pivot_events" -> ((s: SparkSession, d: String) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val aggs = types.map(ty =>
+          sum(when(col("event_type") === ty, 1L).otherwise(0L)).as(s"n_$ty"))
+        t(s, d, "events").groupBy(col("user_id"))
+          .agg(aggs.head, aggs.tail: _*)
+      }),
+
+      // incremental-ingest dedup: drop docs whose text already exists in a
+      // prior committed corpus snapshot (here: the deterministic 25%
+      // sample stands in for the prior snapshot) — the "don't re-ingest
+      // what's already trained on" step; at scale the prior side is
+      // hashes, not text (same trade as dedupExactByHash)
+      "q_dedup_vs_prior" -> ((s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val prior = TrainingOps.deterministicSample(docs, "doc_id", "40000000")
+          .select(col("text"))
+        docs.join(prior, Seq("text"), "left_anti").select(col("doc_id"))
+      }),
+
       // gap-based sessionization (30-min inactivity closes a session):
       // ONE shuffle on user_id — the lag window, the running-sum window
       // and the (user_id, session_idx) aggregation all reuse it (the agg's
@@ -711,6 +744,20 @@ object SparkEntry {
         ("SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users, " +
           "CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli " +
           "FROM events GROUP BY event_type"),
+      "q_rollup_pricing" ->
+        ("SELECT COALESCE(l_returnflag, 'ALL') AS rflag, COALESCE(l_linestatus, 'ALL') AS lstatus, " +
+          "COUNT(*) AS n, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty " +
+          "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+      "q_pivot_events" ->
+        ("SELECT user_id, " +
+          Seq("click", "error", "purchase", "signup", "view").map(ty =>
+            s"CAST(SUM(CASE WHEN event_type = '$ty' THEN 1 ELSE 0 END) AS BIGINT) AS n_$ty")
+            .mkString(", ") +
+          " FROM events GROUP BY user_id"),
+      "q_dedup_vs_prior" ->
+        ("SELECT doc_id FROM documents d WHERE NOT EXISTS (" +
+          "SELECT 1 FROM documents p WHERE p.text = d.text " +
+          "AND substr(md5(p.doc_id::VARCHAR || ':s42'), 1, 8) < '40000000')"),
       "q_sessionize" ->
         ("""WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS tus FROM events),
            |g AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
