@@ -197,23 +197,27 @@ object Bench {
     (1 to 3).foreach { _ => runKernelPair(); probe() }
 
     // SELF-EVIDENCING RETRY (round-4): the recorded artifact must itself
-    // contain >=1 probe-clean (4,16) job pair, >=1 probe-clean 32-core
-    // round, and >=1 probe-clean kernel pair — round 3's run landed
+    // contain >=2 probe-clean (4,16) job pairs, >=1 probe-clean 32-core
+    // round, and >=2 probe-clean kernel pairs — round 3's run landed
     // entirely inside a multi-minute throttle window and the artifact
-    // could not prove the gates on its own. Strategy: probe first; if the
-    // window is clean, run ONLY the missing measurement kinds; if dirty,
-    // sleep the window out. Bounded by attempts AND wall-clock.
+    // could not prove the gates on its own, and a SINGLE clean job pair
+    // makes the headline a one-sample median (observed clean-pair spread
+    // 0.80-0.98 on this host's memory bus — more clean pairs, steadier
+    // median; the count targets are fixed up front, so the selection
+    // stays outcome-independent). Strategy: probe first; if the window is
+    // clean, run ONLY the missing measurement kinds; if dirty, sleep the
+    // window out. Bounded by attempts AND wall-clock.
     val retryDeadline = System.nanoTime() + 12L * 60 * 1000 * 1000 * 1000
     var attempts = 0
     var retriesUsed = 0
     while (attempts < 10 && System.nanoTime() < retryDeadline &&
-      (jobPairIdx.filter(jobPairClean).isEmpty || clean32Idx.isEmpty || kernelCleanIdx.isEmpty)) {
+      (jobPairIdx.count(jobPairClean) < 2 || clean32Idx.isEmpty || kernelCleanIdx.size < 2)) {
       val pi = probe()
       if (probes(pi) >= threshold) {
         retriesUsed += 1
-        if (kernelCleanIdx.isEmpty) runKernelPair()
+        if (kernelCleanIdx.size < 2) runKernelPair()
         if (clean32Idx.isEmpty) runChild(32)
-        if (jobPairIdx.filter(jobPairClean).isEmpty) { runChild(4); runChild(16) }
+        if (jobPairIdx.count(jobPairClean) < 2) { runChild(4); runChild(16) }
         probe() // closing bracket for whatever just ran
       } else Thread.sleep(45000) // wait out the throttle window
       attempts += 1
@@ -335,6 +339,8 @@ object Bench {
     val qs = (queryTimes.map { case (k, v) => k -> num2(v) } ++
       extras.map { case (k, v) => k -> num(v) })
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec_local32":${num(dps32)},"local32_source":"$local32Source","local32_clean_rounds":${clean32s.size},"scaling_efficiency":${num(headlineEff)},"scaling_efficiency_raw":${num(headlineRaw)},"scaling_headline_source":"$headlineSource","scaling_out_of_range":$outOfRange,"job_clean_pair_count":$jobCleanN,"job_all_pair_median":${num(pairedMedianEff)},"kernel_scaling_efficiency_4_to_16":${num(kernelEff)},"kernel_scaling_efficiency_raw":${num(kernelEffRaw)},"kernel_scaling_source":"$kernelSource","kernel_clean_pair_count":$kernelCleanN,"evidence_file":"$evidencePath"}""")
+    // keep the line well under the ~2.5 KB stdout tail the driver records
+    val evidenceName = new java.io.File(evidencePath).getName
+    println(s"""{"metric":"total","value":${num2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec_local32":${num(dps32)},"local32_source":"$local32Source","local32_clean_rounds":${clean32s.size},"scaling_efficiency":${num(headlineEff)},"scaling_efficiency_raw":${num(headlineRaw)},"scaling_headline_source":"$headlineSource","scaling_out_of_range":$outOfRange,"job_clean_pair_count":$jobCleanN,"job_all_pair_median":${num(pairedMedianEff)},"kernel_scaling_efficiency_4_to_16":${num(kernelEff)},"kernel_scaling_efficiency_raw":${num(kernelEffRaw)},"kernel_scaling_source":"$kernelSource","kernel_clean_pair_count":$kernelCleanN,"evidence_file":"$evidenceName"}""")
   }
 }

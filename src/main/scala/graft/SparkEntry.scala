@@ -131,13 +131,37 @@ object SparkEntry {
        |r AS (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS "rank" FROM s)
        |SELECT query_id, vec_id, cos, "rank" FROM r WHERE "rank" <= 10""".stripMargin
 
-  /** MD5-based simhash, bit-for-bit the TrainingOps.simhash definition. */
-  private def simhashOracle: String =
-    """WITH t AS (SELECT doc_id, list_transform(regexp_split_to_array(lower(text), '\s+'), x -> md5(x)) AS hs FROM documents)
-      |SELECT doc_id, array_to_string(list_transform(range(0, 64), b ->
-      |  CASE WHEN list_sum(list_transform(hs, h ->
-      |    CASE WHEN ((strpos('0123456789abcdef', h[(b // 4) + 1]) - 1) >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-      |  THEN '1' ELSE '0' END), '') AS simhash FROM t""".stripMargin
+  /** MD5-based simhash, bit-for-bit the TrainingOps.simhash definition;
+    * `from` parametrizes the source relation/CTE. */
+  private def simhashSelect(from: String): String =
+    s"""WITH t AS (SELECT doc_id, list_transform(regexp_split_to_array(lower(text), '\\s+'), x -> md5(x)) AS hs FROM $from)
+       |SELECT doc_id, array_to_string(list_transform(range(0, 64), b ->
+       |  CASE WHEN list_sum(list_transform(hs, h ->
+       |    CASE WHEN ((strpos('0123456789abcdef', h[(b // 4) + 1]) - 1) >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |  THEN '1' ELSE '0' END), '') AS simhash FROM t""".stripMargin
+
+  private def simhashOracle: String = simhashSelect("documents")
+
+  /** Planted near-dup pair for q_simhash_dup_pairs: the two texts differ
+    * in one word and their simhashes differ in exactly ONE bit (verified
+    * offline with the same MD5 vote math) — a true hamming-1 near-dup on
+    * top of the corpus's hamming-0 exact-dup groups. */
+  private val simhashPlantedA =
+    "the quick brown fox jumps over the lazy dog while autumn leaves drift across the quiet river valley under a pale morning sky"
+  private val simhashPlantedB =
+    "the quick brown evening jumps over the lazy dog while autumn leaves drift across the quiet river valley under a pale morning sky"
+
+  /** Brute-force all-pairs hamming ≤ 3 — legitimate as the oracle because
+    * the 4-band bucketing is pigeonhole-EXACT for maxHamming ≤ 3 (no
+    * recall loss to replicate). */
+  private def simhashDupPairsOracle: String =
+    s"""WITH docs2 AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM (VALUES
+       |  (950001, ${sqlStr(simhashPlantedA)}), (950002, ${sqlStr(simhashPlantedB)})) v(doc_id, text)),
+       |s0 AS (${simhashSelect("docs2")}),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(list_sum(list_transform(range(1, 65), i -> CASE WHEN a.simhash[i] != b.simhash[i] THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+       |  FROM s0 a JOIN s0 b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3""".stripMargin
 
   private def fingerprintOracle: String =
     ("SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text) + 1), " +
@@ -477,6 +501,15 @@ object SparkEntry {
           .where(col("est_jaccard") >= 0.5).select(col("doc_a"), col("doc_b"))),
       "q_simhash" -> ((s: SparkSession, d: String) =>
         TrainingOps.simhash(t(s, d, "documents"))),
+      // simhash near-dup pairs (4-band bucketing, pigeonhole-exact for
+      // hamming<=3, native codegen hamming verify); planted hamming-1 pair
+      "q_simhash_dup_pairs" -> ((s: SparkSession, d: String) => {
+        import s.implicits._
+        val planted = Seq((950001L, simhashPlantedA), (950002L, simhashPlantedB))
+          .toDF("doc_id", "text")
+        TrainingOps.simhashDupPairs(
+          t(s, d, "documents").select(col("doc_id"), col("text")).unionByName(planted))
+      }),
       "q_ngram_jaccard_pairs" -> ((s: SparkSession, d: String) =>
         TrainingOps.ngramJaccardPairs(t(s, d, "documents"), threshold = 0.5)),
       "q_knn_brute" -> ((s: SparkSession, d: String) => {
@@ -788,6 +821,7 @@ object SparkEntry {
         "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count FROM documents GROUP BY text",
       "q_fingerprint" -> fingerprintOracle,
       "q_simhash" -> simhashOracle,
+      "q_simhash_dup_pairs" -> simhashDupPairsOracle,
       // ground-truth pair sets: the seeded corpus has true jaccard <0.1 or
       // >0.9 only, so LSH-candidates∩(est>=0.5) == all-pairs j>=0.5
       "q_minhash_lsh_pairs" ->

@@ -102,7 +102,7 @@ object CosineSim {
   *   spark.sql.extensions=graft.expressions.GraftExtensions
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier(CosineSim.name),
         new ExpressionInfo(classOf[CosineSim].getName, CosineSim.name),
@@ -110,4 +110,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           require(exprs.length == 2, s"${CosineSim.name} takes exactly 2 arguments")
           CosineSim(exprs.head, exprs(1))
         }))
+    ext.injectFunction(
+      (FunctionIdentifier(HammingDist.name),
+        new ExpressionInfo(classOf[HammingDist].getName, HammingDist.name),
+        { exprs: Seq[Expression] =>
+          require(exprs.length == 2, s"${HammingDist.name} takes exactly 2 arguments")
+          HammingDist(exprs.head, exprs(1))
+        }))
+  }
 }

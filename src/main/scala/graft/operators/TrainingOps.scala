@@ -200,6 +200,44 @@ object TrainingOps {
       }.toDF("doc_id", "simhash")
   }
 
+  /** SimHash near-duplicate pairs: band the 64-bit simhash into 4
+    * 16-bit bands; docs sharing ANY band bucket become candidates, then a
+    * native codegen'd hamming verify keeps pairs with distance ≤
+    * `maxHamming`. For maxHamming ≤ 3 the banding is EXACT-recall by
+    * pigeonhole: ≤3 flipped bits cannot touch all 4 bands, so every
+    * qualifying pair shares at least one untouched band — meaning the
+    * bucketed result provably equals the all-pairs answer (the oracle IS
+    * the brute-force formulation). Same scale shape as the MinHash path:
+    * ONE corpus scan / signature pass, one exchange shared by the window
+    * bucket-size cap and the member aggregation, pair expansion bounded by
+    * `maxBucket`, hamming evaluated only on candidates. */
+  def simhashDupPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+    require(maxHamming <= 3, "banding into 4 bands is exact only for maxHamming <= 3")
+    graft.expressions.HammingDist.register(docs.sparkSession)
+    val sim = simhash(docs)
+    val banded = sim
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bucket", expr("substring(simhash, band * 16 + 1, 16)"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
+    val buckets = banded
+      .withColumn("bn", count(lit(1)).over(w))
+      .where(col("bn") > 1 && col("bn") <= maxBucket)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
+    val pairs = buckets.select(explode(expr(
+      """flatten(transform(members, (a, i) ->
+        |  transform(slice(members, i + 2, size(members)), b ->
+        |    struct(a.doc_id as doc_a, b.doc_id as doc_b,
+        |           graft_hamming(a.simhash, b.simhash) as hd))))""".stripMargin)).as("p"))
+      .select(least(col("p.doc_a"), col("p.doc_b")).as("doc_a"),
+        greatest(col("p.doc_a"), col("p.doc_b")).as("doc_b"),
+        col("p.hd").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+    // a pair sharing several bands surfaces once per band — dedup
+    pairs.groupBy(col("doc_a"), col("doc_b")).agg(min(col("hamming")).as("hamming"))
+  }
+
   /** Exact n-gram Jaccard verification over LSH candidate pairs: the
     * standard two-stage near-dup pipeline (candidates from LSH, exact
     * set-similarity only on candidates). */
