@@ -1,38 +1,79 @@
 package graft
 
-/** Command-line front end mirroring the reference's `pdf2txt` binary
-  * (reference: main.cc — `pdf2txt <in.pdf>` prints extracted text):
+/** Command-line front end. The default mode mirrors the reference's
+  * `pdf2txt` binary (reference: main.cc — `pdf2txt <in.pdf>` prints
+  * extracted text); two Spark subcommands drive the pipeline over parquet
+  * so a reference user can run the distributed path without writing code:
   *
-  *   runMain graft.Cli file.pdf [file2.pdf ...]    text to stdout
-  *   runMain graft.Cli --pages file.pdf            one block per page
+  *   runMain graft.Cli file.pdf [file2.pdf ...]        text to stdout
+  *   runMain graft.Cli --pages file.pdf                one block per page
+  *   runMain graft.Cli extract <docs.pq> <media.pq> <outDir> [runId]
+  *       full resumable extraction job (spans + lineage + metrics under
+  *       outDir, committed atomically; re-running resumes)
+  *   runMain graft.Cli clean <documents.pq> <outDir>
+  *       normalize → dedup → quality-gate → deterministic-sample; kept
+  *       doc_ids written as parquet under outDir
   *
   * Errors on a file print to stderr and set a nonzero exit code, but do
   * not stop remaining files (batch-friendly, same posture as the
   * pipeline's error spans). */
 object Cli {
-  def main(args: Array[String]): Unit = {
-    val (flags, files) = args.partition(_.startsWith("--"))
-    val perPage = flags.contains("--pages")
-    if (files.isEmpty) {
-      System.err.println("usage: graft.Cli [--pages] <file.pdf> [more.pdf ...]")
-      sys.exit(2)
-    }
-    var failed = 0
-    files.foreach { f =>
-      try {
-        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
-        if (perPage) {
-          graft.pdf.Pdf.pdf2pages(bytes).zipWithIndex.foreach { case (t, i) =>
-            println(s"--- page ${i + 1} ---")
-            print(t)
-          }
-        } else print(graft.pdf.Pdf.pdf2txt(bytes))
-      } catch {
-        case e: Exception =>
-          System.err.println(s"$f: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
-          failed += 1
+
+  private def session(): org.apache.spark.sql.SparkSession = {
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+      .appName("graft-cli")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("extract") =>
+      if (args.length < 4) {
+        System.err.println("usage: graft.Cli extract <docs.parquet> <media.parquet> <outDir> [runId]")
+        sys.exit(2)
       }
-    }
-    if (failed > 0) sys.exit(1)
+      implicit val spark: org.apache.spark.sql.SparkSession = session()
+      val runId = if (args.length > 4) args(4) else "run-" + java.lang.Long.toHexString(System.currentTimeMillis())
+      val committed = ExtractJob.run(
+        spark.read.parquet(args(1)), spark.read.parquet(args(2)), args(3), runId)
+      println(s"committed run=$runId total_spans=${committed.count()}")
+
+    case Some("clean") =>
+      if (args.length < 3) {
+        System.err.println("usage: graft.Cli clean <documents.parquet> <outDir>")
+        sys.exit(2)
+      }
+      val spark = session()
+      val kept = operators.TrainingOps.cleanCorpus(spark.read.parquet(args(1)))
+      kept.write.mode("overwrite").parquet(args(2))
+      println(s"kept_docs=${spark.read.parquet(args(2)).count()}")
+
+    case _ =>
+      val (flags, files) = args.partition(_.startsWith("--"))
+      val perPage = flags.contains("--pages")
+      if (files.isEmpty) {
+        System.err.println("usage: graft.Cli [--pages] <file.pdf> [more.pdf ...] | extract ... | clean ...")
+        sys.exit(2)
+      }
+      var failed = 0
+      files.foreach { f =>
+        try {
+          val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+          if (perPage) {
+            graft.pdf.Pdf.pdf2pages(bytes).zipWithIndex.foreach { case (t, i) =>
+              println(s"--- page ${i + 1} ---")
+              print(t)
+            }
+          } else print(graft.pdf.Pdf.pdf2txt(bytes))
+        } catch {
+          case e: Exception =>
+            System.err.println(s"$f: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")
+            failed += 1
+        }
+      }
+      if (failed > 0) sys.exit(1)
   }
 }

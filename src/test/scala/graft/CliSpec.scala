@@ -38,4 +38,36 @@ class CliSpec extends AnyFunSuite {
     val out = withCapturedOut(Cli.main(Array(p1, p2)))
     assert(out == "Hello World\nrle aaaaaaaaaa ok\n", s"got [$out]")
   }
+
+  test("extract and clean subcommands drive the Spark pipeline end-to-end") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("cli-spark").toString
+      val fs = Seq(PdfBuilder.f01MinimalFlate, PdfBuilder.f03Filters)
+      def bucket(n: Int) = 32 - Integer.numberOfLeadingZeros(math.max(1, n - 1))
+      spark.createDataset(fs.map(f =>
+        Model.DocRow(f.name, Seq(Model.InSpan("pdf", "", f.name, 0))))).toDF()
+        .write.parquet(s"$base/docs")
+      spark.createDataset(fs.map(f =>
+        Model.MediaRow(f.name, f.bytes, bucket(f.bytes.length)))).toDF()
+        .write.parquet(s"$base/media")
+      val out = withCapturedOut(
+        Cli.main(Array("extract", s"$base/docs", s"$base/media", s"$base/out", "r1")))
+      assert(out.trim == "committed run=r1 total_spans=2", s"got [$out]")
+      assert(spark.read.parquet(s"$base/out/spans_out/run=r1").count() == 2)
+
+      spark.createDataset(Seq(
+        (1L, "a long enough document body to pass the fifty character quality gate easily"),
+        (2L, "short"))).toDF("doc_id", "text")
+        .write.parquet(s"$base/documents")
+      val out2 = withCapturedOut(Cli.main(Array("clean", s"$base/documents", s"$base/cleaned")))
+      assert(out2.trim.startsWith("kept_docs="), s"got [$out2]")
+      assert(spark.read.parquet(s"$base/cleaned").columns.toSeq == Seq("doc_id"))
+    } finally spark.stop()
+  }
 }
