@@ -230,6 +230,14 @@ object SparkEntry {
     s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(media_ref, width, height, f_first, f_mid, f_last)"
   }
 
+  private val decontaminateOracle: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+      |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+      |  ELSE list_transform(range(1, len(toks) - 11), i -> array_to_string(list_slice(toks, i, i + 12), ' ')) END)) AS gr FROM t),
+      |ev AS (SELECT DISTINCT gr FROM g WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 2)),
+      |bad AS (SELECT DISTINCT doc_id FROM g JOIN ev USING (gr))
+      |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
+
   /** By-construction oracle for q_media_resize: the same resizeImage +
     * CRC32 invoked at oracle-build time over the same synthetic PNGs. */
   private def mediaResizeOracle: String = {
@@ -583,6 +591,13 @@ object SparkEntry {
         TrainingOps.decontaminate(docs, docs.orderBy(col("doc_id")).limit(2))
           .select(col("doc_id"))
       }),
+      // same semantics through the bloom pre-filter scale path (exact
+      // verify kills the FPs) — shares the exact-formulation oracle
+      "q_decontaminate_bloom" -> ((s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        TrainingOps.decontaminateBloom(docs, docs.orderBy(col("doc_id")).limit(2))
+          .select(col("doc_id"))
+      }),
       // Gopher-style repetition filter inputs
       "q_repetition" -> ((s: SparkSession, d: String) =>
         TrainingOps.repetitionSignals(t(s, d, "documents"))),
@@ -873,13 +888,9 @@ object SparkEntry {
         ("SELECT doc_id, source, nt AS n_tokens, " +
           "CAST(FLOOR(COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256) AS BIGINT) AS chunk_id " +
           "FROM (SELECT doc_id, source, CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS nt FROM documents) t"),
-      "q_decontaminate" ->
-        ("""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
-           |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
-           |  ELSE list_transform(range(1, len(toks) - 11), i -> array_to_string(list_slice(toks, i, i + 12), ' ')) END)) AS gr FROM t),
-           |ev AS (SELECT DISTINCT gr FROM g WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 2)),
-           |bad AS (SELECT DISTINCT doc_id FROM g JOIN ev USING (gr))
-           |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin),
+      "q_decontaminate" -> decontaminateOracle,
+      // the bloom path is an exact-verified pre-filter: same answer
+      "q_decontaminate_bloom" -> decontaminateOracle,
       "q_repetition" ->
         ("""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
            |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]

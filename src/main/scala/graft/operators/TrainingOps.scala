@@ -740,6 +740,35 @@ object TrainingOps {
     docs.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** [[decontaminate]] with a BLOOM pre-filter — the large-eval-set scale
+    * path: the eval grams' xxhash64 set is folded into a compact bloom
+    * filter (k=3, ~1% FP at 12 bits/item) embedded in the plan as a
+    * BINARY literal, so ~every clean gram is rejected MAP-SIDE inside
+    * whole-stage codegen (native `graft_bloom_contains` expression)
+    * before any join machinery runs; the surviving ~1% then pass the
+    * exact gram semi-join, so bloom false positives die there and the
+    * RESULT IS IDENTICAL to the exact [[decontaminate]] (the driver
+    * oracle is shared). The collect is the eval gram hash list — the eval
+    * set is small by definition; at production scale build the filter
+    * once per eval snapshot and persist it next to the corpus. */
+  def decontaminateBloom(docs: DataFrame, evalDocs: DataFrame, n: Int = 13,
+                         bitsPerItem: Int = 12): DataFrame = {
+    graft.expressions.BloomContains.register(docs.sparkSession)
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(shingles(col("text"), n))).as("g")).distinct()
+    val hashes = evalGrams.select(xxhash64(col("g")).as("h")).collect().map(_.getLong(0))
+    val bloom = graft.expressions.BloomContains.build(hashes, bitsPerItem)
+    val bloomB64 = java.util.Base64.getEncoder.encodeToString(bloom)
+    val candidates = docs
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), n))).as("g"))
+      // unbase64 of a literal constant-folds to one binary literal
+      .where(expr(s"graft_bloom_contains(unbase64('$bloomB64'), xxhash64(g))"))
+    val contaminated = candidates
+      .join(evalGrams, Seq("g"), "left_semi") // exact verify kills bloom FPs
+      .select(col("doc_id")).distinct()
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** Repetition quality signals (the Gopher-style repetition filters):
     * per document, the fraction of all word bigrams taken by the single
     * most frequent bigram (boilerplate and degenerate repetition push it
