@@ -604,6 +604,19 @@ object SparkEntry {
       // context-window assembly over the token-budget chunks
       "q_packed_text" -> ((s: SparkSession, d: String) =>
         TrainingOps.packChunks(t(s, d, "documents"), budget = 256)),
+      // per-source corpus statistics; every value is exact IEEE-matchable:
+      // counts are longs, avg = exact long-sum / count (one double divide),
+      // median of integer token counts = (a+b)/2 with all terms exact
+      "q_source_stats" -> ((s: SparkSession, d: String) => {
+        val nTokens = (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1).cast("long")
+        t(s, d, "documents").select(col("source"), nTokens.as("nt"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("nt")).as("min_tokens"),
+            max(col("nt")).as("max_tokens"),
+            (sum(col("nt")).cast("double") / count(lit(1))).as("avg_tokens"),
+            expr("percentile(nt, 0.5)").as("median_tokens"))
+      }),
       "q_vocab_topk" -> ((s: SparkSession, d: String) =>
         TrainingOps.vocabTopK(t(s, d, "documents"), k = 100)),
       "q_normalize" -> ((s: SparkSession, d: String) =>
@@ -907,6 +920,11 @@ object SparkEntry {
           "CAST(FLOOR(COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256) AS BIGINT) AS chunk_id FROM c) " +
           "SELECT source, chunk_id, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS chunk_tokens, " +
           "string_agg(text, ' ' ORDER BY doc_id) AS packed_text FROM w GROUP BY source, chunk_id"),
+      "q_source_stats" ->
+        ("WITH t AS (SELECT source, CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS nt FROM documents) " +
+          "SELECT source, COUNT(*) AS n_docs, CAST(MIN(nt) AS BIGINT) AS min_tokens, CAST(MAX(nt) AS BIGINT) AS max_tokens, " +
+          "CAST(SUM(nt) AS DOUBLE) / COUNT(*) AS avg_tokens, quantile_cont(nt, 0.5) AS median_tokens " +
+          "FROM t GROUP BY source"),
       "q_vocab_topk" ->
         ("SELECT term, n FROM (SELECT term, count(*)::BIGINT AS n FROM " +
           "(SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents) t0 " +
