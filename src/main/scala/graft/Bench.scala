@@ -328,7 +328,9 @@ object Bench {
     val extras = Seq(
       "extract_docs_per_sec_local4" -> dps4,
       "extract_docs_per_sec_local16" -> dps16,
-      "extract_docs_per_sec_local32" -> dps32,
+      // local32 docs/s lives top-level (docs_per_sec_local32) — not
+      // duplicated here; the stdout line must stay under the driver's
+      // ~2.5 KB tail window
       "extract_sec_local4" -> sec4,
       "extract_sec_local16" -> sec16,
       "extract_sec_local32" -> sec32,
