@@ -604,6 +604,9 @@ object SparkEntry {
       // context-window assembly over the token-budget chunks
       "q_packed_text" -> ((s: SparkSession, d: String) =>
         TrainingOps.packChunks(t(s, d, "documents"), budget = 256)),
+      // BPE tokenizer training: the first 2 learned merge rules + counts
+      "q_bpe_merges" -> ((s: SparkSession, d: String) =>
+        TrainingOps.bpeMerges(t(s, d, "documents"), numMerges = 2)),
       // per-source corpus statistics; every value is exact IEEE-matchable:
       // counts are longs, avg = exact long-sum / count (one double divide),
       // median of integer token counts = (a+b)/2 with all terms exact
@@ -920,6 +923,22 @@ object SparkEntry {
           "CAST(FLOOR(COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256) AS BIGINT) AS chunk_id FROM c) " +
           "SELECT source, chunk_id, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS chunk_tokens, " +
           "string_agg(text, ' ' ORDER BY doc_id) AS packed_text FROM w GROUP BY source, chunk_id"),
+      // two unrolled BPE rounds, each a count→argmax→replace chain, with
+      // replace() carrying the identical greedy-left merge semantics
+      "q_bpe_merges" ->
+        ("""WITH w0 AS (
+           |  SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS syms, COUNT(*) AS freq
+           |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents) t
+           |  WHERE w <> '' GROUP BY w),
+           |p1 AS (SELECT unnest(list_transform(range(1, len(els)), i -> els[i] || ' ' || els[i+1])) AS p, freq
+           |  FROM (SELECT string_split(trim(syms), ' ') AS els, freq FROM w0) t),
+           |t1 AS (SELECT p, CAST(SUM(freq) AS BIGINT) AS n FROM p1 GROUP BY p ORDER BY n DESC, p LIMIT 1),
+           |w1 AS (SELECT replace(syms, ' ' || (SELECT p FROM t1) || ' ', ' ' || replace((SELECT p FROM t1), ' ', '') || ' ') AS syms, freq FROM w0),
+           |p2 AS (SELECT unnest(list_transform(range(1, len(els)), i -> els[i] || ' ' || els[i+1])) AS p, freq
+           |  FROM (SELECT string_split(trim(syms), ' ') AS els, freq FROM w1) t),
+           |t2 AS (SELECT p, CAST(SUM(freq) AS BIGINT) AS n FROM p2 GROUP BY p ORDER BY n DESC, p LIMIT 1)
+           |SELECT CAST(1 AS INTEGER) AS rank, p AS pair, n FROM t1
+           |UNION ALL SELECT CAST(2 AS INTEGER) AS rank, p AS pair, n FROM t2""".stripMargin),
       "q_source_stats" ->
         ("WITH t AS (SELECT source, CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS nt FROM documents) " +
           "SELECT source, COUNT(*) AS n_docs, CAST(MIN(nt) AS BIGINT) AS min_tokens, CAST(MAX(nt) AS BIGINT) AS max_tokens, " +

@@ -656,6 +656,61 @@ object TrainingOps {
       }.toDF("doc_id", "fingerprint")
   }
 
+  /** BPE merge training: learn the first `numMerges` byte-pair-encoding
+    * merge rules from the corpus — the actual tokenizer-training step of
+    * a training-data pipeline. Classic algorithm: words become symbol
+    * sequences (initially characters); each round counts adjacent symbol
+    * pairs weighted by word frequency, adopts the most frequent pair
+    * (ties to the lexicographically smallest) as a merge rule, and
+    * rewrites the vocabulary.
+    *
+    * Scale/impl notes: the heavy pass is per ROUND, not per word — one
+    * explode + partial-aggregated count over the DISTINCT-word vocabulary
+    * (orders of magnitude smaller than the corpus; persisted across
+    * rounds), and the only driver traffic is each round's single argmax
+    * row. Symbol sequences are space-joined strings and a merge is a
+    * literal `replace(" a b ", " ab ")` — left-to-right non-overlapping,
+    * the exact greedy-application semantics of BPE — which DuckDB's
+    * replace() reproduces verbatim, making every round oracle-exact. */
+  def bpeMerges(docs: DataFrame, numMerges: Int = 2): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairsExpr =
+      """CASE WHEN size(els) > 1
+        |  THEN transform(sequence(1, size(els) - 1), i -> concat(element_at(els, i), ' ', element_at(els, i + 1)))
+        |  ELSE array() END""".stripMargin
+    var words = docs.select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" ")).as("syms"), col("freq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val top = words
+        .select(split(trim(col("syms")), " ").as("els"), col("freq"))
+        .select(explode(expr(pairsExpr)).as("p"), col("freq"))
+        .groupBy(col("p")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("p")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        merges += ((rank, pair, top(0).getLong(1)))
+        val next = words.select(
+          replace(col("syms"), lit(" " + pair + " "), lit(" " + pair.replace(" ", "") + " ")).as("syms"),
+          col("freq")).persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the previous round
+        words.unpersist(blocking = false)
+        words = next
+        rank += 1
+      }
+    }
+    words.unpersist(blocking = false)
+    spark.createDataset(merges.result()).toDF("rank", "pair", "n")
+  }
+
   /** Canonical-document selection: per dup cluster keep the "best" doc
     * (longest text, ties to the smallest doc_id) — the standard final step
     * after [[dupClusters]] (dedup keeps one representative, not an

@@ -245,6 +245,23 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s2.orderBy("doc_id").select("scrubbed").as[String].collect().toSeq)
   }
 
+  test("BPE merge training learns the textbook merges with deterministic tie-breaks") {
+    val sp = spark; import sp.implicits._
+    // words: low x3, lower x2, newest x1. Round 1 pairs: "l o"=5, "o w"=5,
+    // "w e"=3, ... -> tie broken lexicographically to "l o". Round 2 on the
+    // merged vocab: "lo w"=5 wins.
+    val docs = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+      .toDF("doc_id", "text")
+    val got = operators.TrainingOps.bpeMerges(docs, numMerges = 2)
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, "l o", 5L), (2, "lo w", 5L)), s"got $got")
+    // asking for more merges than exist must stop gracefully
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val m = operators.TrainingOps.bpeMerges(tiny, numMerges = 5)
+      .as[(Int, String, Long)].collect()
+    assert(m.toSeq == Seq((1, "a b", 1L)), s"got ${m.toSeq}") // after "a b"->"ab" no pairs remain
+  }
+
   test("decontaminate drops docs sharing any 13-gram with the eval set") {
     val sp = spark; import sp.implicits._
     val evalText = (1 to 13).map(i => s"ev$i").mkString(" ")
