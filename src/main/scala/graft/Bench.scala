@@ -5,8 +5,24 @@ import org.apache.spark.sql.functions._
 
 /** Benchmark main (driver contract): one JSON line with per-query seconds
   * plus the north-rule scaling evidence — extraction throughput (docs/sec)
-  * measured at two parallelism levels (local[8] vs local[32], the sandbox
-  * proxy for N vs 4N executors) on the same input, and their efficiency. */
+  * measured at two parallelism levels (local[4] vs local[16], the sandbox
+  * proxy for N vs 4N executors) on the same input, and their efficiency.
+  *
+  * Round-5 structure (fit measurements inside the host's clean windows —
+  * the r4 probe trace showed the host clean at run start, then throttled
+  * for ~55 of 57 minutes with ~1-minute recoveries, SHORTER than one
+  * 4-core full-corpus measurement):
+  *   1. Cheap warmup only (corpus gen + kernel JIT) — the old full-corpus
+  *      32-core warmup drained the host's clean budget before probe #1.
+  *   2. The 32-core throughput rounds run FIRST, in the clean start window.
+  *   3. Scaling (4,16) pairs run on a SMALL corpus (default nDocs/4) so
+  *      each level's measured region is a few seconds — efficiency is a
+  *      ratio, it doesn't need the full corpus; docs/s stays full-corpus.
+  *   4. Each forked child probes the window ITSELF, immediately before and
+  *      after its measured runs (`RESULT n sec pB pA`) — the cleanliness
+  *      bracket covers only the measurement, not JVM+session startup.
+  *   5. Dirty-window sleep 120 s (45 s hops never outlasted the throttle).
+  */
 object Bench {
 
   private def session(cpus: Int): SparkSession = {
@@ -49,8 +65,10 @@ object Bench {
 
   /** Fork one executor-sized JVM for a measurement level: same classpath
     * and module flags as this JVM, GC threads sized to the core count. The
-    * child prints `RESULT n sec`; we parse it. */
-  private def measureForked(cpus: Int, inDir: String): (Long, Double) = {
+    * child prints `RESULT n sec probeBefore probeAfter`; we parse it. The
+    * two probe values are the child's own single-thread kernel runs taken
+    * immediately around the measured region. */
+  private def measureForked(cpus: Int, inDir: String): (Long, Double, Double, Double) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val jvmArgs = {
       import scala.jdk.CollectionConverters._
@@ -71,17 +89,18 @@ object Bench {
     out.linesIterator.find(_.startsWith("RESULT ")) match {
       case Some(line) =>
         val parts = line.split(" ")
-        (parts(1).toLong, parts(2).toDouble)
+        (parts(1).toLong, parts(2).toDouble, parts(3).toDouble, parts(4).toDouble)
       case None =>
         System.err.println(s"[bench] forked level $cpus failed:\n${out.takeRight(2000)}")
-        (0L, Double.NaN)
+        (0L, Double.NaN, Double.NaN, Double.NaN)
     }
   }
 
   /** Child mode: one level, one JVM. Warm once on a slice (JIT+codegen,
-    * excluded), then measured runs — one for the slow 4-core level (its
-    * repetition comes from the 4 interleaved children), two for the
-    * faster levels. Keeps the whole bench inside harness timeouts. */
+    * excluded — the warmup also JIT-warms pdf2txt for the probes), then a
+    * probe, the measured runs, and a closing probe — so the parent's
+    * clean-window test covers ONLY the measured seconds, not the ~15 s of
+    * JVM + SparkSession + warmup startup around them. */
   private def childMeasure(cpus: Int, inDir: String): Unit = {
     val s = session(cpus)
     locally { // warm: codegen + JIT on a corpus slice
@@ -92,10 +111,14 @@ object Bench {
         .where(col("media_ref") =!= "").distinct()
       ExtractJob.assembleSpans(docs, ExtractJob.extractMedia(media, refs, cpus * 2).toDF()).count()
     }
+    val probeMedia = graft.testkit.KernelBench.genMedia(250)
+    graft.testkit.KernelBench.run(probeMedia.take(100), 1) // probe-shape JIT settle
+    val pB = graft.testkit.KernelBench.run(probeMedia, 1)
     val nRuns = if (cpus <= 4) 1 else 2
     val runs = (1 to nRuns).map(_ => extractionRun(s, inDir, cpus))
+    val pA = graft.testkit.KernelBench.run(probeMedia, 1)
     s.stop()
-    println(s"RESULT ${runs.head._1} ${runs.map(_._2).min}")
+    println(f"RESULT ${runs.head._1} ${runs.map(_._2).min}%.4f $pB%.2f $pA%.2f")
   }
 
   def main(args: Array[String]): Unit = {
@@ -111,115 +134,125 @@ object Bench {
     val nDocs = sys.env.get("SPARK_GRAFT_BENCH_DOCS").map(_.toInt).getOrElse {
       if (sfDir.contains("sf0.1")) 24000 else if (sfDir.contains("sf0.01")) 2000 else 200
     }
+    // scaling pairs measure on a smaller corpus: efficiency is a ratio, so
+    // the corpus size cancels — what matters is that one level's measured
+    // region fits inside one clean window (~4-6 s here vs 20-60 s full)
+    val nDocsSmall = sys.env.get("SPARK_GRAFT_BENCH_DOCS_SMALL").map(_.toInt)
+      .getOrElse(math.max(500, nDocs / 4))
 
-    // prepare the synthetic interleaved corpus once (seed=42, generated
-    // distributed on the executors)
-    val inDir = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    // prepare the synthetic interleaved corpora once (seed=42, generated
+    // distributed on the executors; the small corpus is a prefix of the
+    // full one — same formula, same ids)
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val fullDir = s"$baseDir/full"
+    val smallDir = s"$baseDir/small"
     locally {
       val s = session(cpus)
-      graft.testkit.Corpus.writeBenchCorpus(s, nDocs, inDir)
-      // JIT warmup for the kernel path (excluded from measurements)
-      extractionRun(s, inDir, cpus)
+      graft.testkit.Corpus.writeBenchCorpus(s, nDocs, fullDir)
+      graft.testkit.Corpus.writeBenchCorpus(s, nDocsSmall, smallDir)
       s.stop()
     }
-
-    // north-rule scaling: identical job at N=4 and 4N=16 local cores (the
-    // sandbox proxy for N vs 4N executors — both levels leave GC/runtime
-    // headroom on the 32-core box). Each level runs in its OWN forked JVM
-    // with ParallelGCThreads=cores (a real 4-core executor sizes its GC to
-    // 4 cores). local[32] is measured too as the peak. Levels are measured
-    // INTERLEAVED because this host's throttle windows last minutes.
-    // Kernel evidence (bandwidth-isolated, plain thread pool, no Spark) is
-    // measured interleaved with the job pairs so both estimators sample
-    // the same noise windows.
+    // cheap kernel JIT warm only — r4's full-corpus 32-core warmup here
+    // drained the host's clean start window before the first measurement
     val kMedia = graft.testkit.KernelBench.genMedia(3000)
-    graft.testkit.KernelBench.run(kMedia.take(500), 4) // JIT warm
+    graft.testkit.KernelBench.run(kMedia.take(500), 4)
 
     // WINDOW PROBES: a ~0.35 s single-thread kernel run is a direct sensor
     // of the host's CPU-throttle state (clean ≈ 700-780 media/s here,
-    // throttled windows halve it or worse). One probe brackets every
-    // measurement; a measurement is accepted as window-clean only if all
-    // its bracketing probes sit within 85% of the probe REFERENCE. The
-    // criterion never looks at a measurement's own value — selection is
-    // outcome-INDEPENDENT, so it cannot bias the estimate. The reference
-    // is max(best probe seen, an absolute floor): round 3 recorded a run
-    // where EVERY probe after the first was throttled (42-667 media/s) —
-    // best-probe-relative alone would have accepted garbage had the first
-    // probe also landed in the window. The floor is this host's measured
-    // clean single-thread kernel rate (700-780 across rounds 2-3, ~5%
-    // build-to-build drift), overridable via SPARK_GRAFT_PROBE_FLOOR.
-    // Calibration (round 4): with factor 0.85 / floor 640 a run whose
-    // probes sat at 620-660 — a MILD throttle — had its pairs labeled
-    // clean and medianed 0.68, while truly clean windows (700-780)
-    // measure 0.88; 0.88 × floor 680 excludes the mild-throttle band, and
-    // the retry loop then hunts for genuinely clean windows instead of
-    // certifying tepid ones.
+    // throttled windows halve it or worse). Every measurement is bracketed
+    // by probes — forked children bracket THEMSELVES around the measured
+    // region; kernel pairs are bracketed in-parent. A measurement is
+    // accepted as window-clean only if its bracketing probes sit within
+    // 88% of the probe REFERENCE. The criterion never looks at a
+    // measurement's own value — selection is outcome-INDEPENDENT, so it
+    // cannot bias the estimate. The reference is max(best probe seen, an
+    // absolute floor): round 3 recorded a run where EVERY probe after the
+    // first was throttled — best-probe-relative alone would have accepted
+    // garbage. The floor is this host's measured clean single-thread
+    // kernel rate (700-780 across rounds 2-4), overridable via
+    // SPARK_GRAFT_PROBE_FLOOR. Calibration (round 4): 0.88 × floor 680
+    // excludes the mild-throttle band (probes 620-660) that 0.85 × 640
+    // wrongly certified.
     val probeFloor = sys.env.get("SPARK_GRAFT_PROBE_FLOOR").map(_.toDouble).getOrElse(680.0)
     val probeMedia = kMedia.take(250)
     val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
     def probe(): Int = { probes += graft.testkit.KernelBench.run(probeMedia, 1); probes.size - 1 }
     def threshold: Double = 0.88 * math.max(probes.max, probeFloor)
-    def probesCleanIn(lo: Int, hi: Int): Boolean =
-      (lo to math.min(hi, probes.size - 1)).forall(i => probes(i) >= threshold)
 
     val childCpus = scala.collection.mutable.ArrayBuffer.empty[Int]
     val childRes = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-    val childProbeIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // per-child (beforeIdx, afterIdx) into `probes` — the child's own
+    // tight bracket; (-1,-1) if the child failed
+    val childBracket = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     val kernelPairs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    val kernelProbeIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val kernelBracket = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     def runChild(c: Int): Unit = {
-      childProbeIdx += probe()
+      val dir = if (c >= 32) fullDir else smallDir
+      val (n, sec, pB, pA) = measureForked(c, dir)
       childCpus += c
-      childRes += measureForked(c, inDir)
+      childRes += ((n, sec))
+      if (pB.isNaN || pA.isNaN) childBracket += ((-1, -1))
+      else {
+        probes += pB; probes += pA
+        childBracket += ((probes.size - 2, probes.size - 1))
+      }
     }
+    def runPair(): Unit = { runChild(4); runChild(16) }
     def runKernelPair(): Unit = {
-      kernelProbeIdx += probe()
+      val b = probe()
       kernelPairs += ((graft.testkit.KernelBench.run(kMedia, 4),
         graft.testkit.KernelBench.run(kMedia, 16)))
+      val a = probe()
+      kernelBracket += ((b, a))
     }
-    // a measurement's bracketing probes = the probe taken right before it
-    // and the chronologically next probe (probe indices are global)
+    def childClean(k: Int): Boolean = {
+      val (b, a) = childBracket(k)
+      b >= 0 && probes(b) >= threshold && probes(a) >= threshold
+    }
     def jobPairIdx: Seq[Int] = (0 until childCpus.size - 1)
       .filter(k => childCpus(k) == 4 && childCpus(k + 1) == 16 &&
         !childRes(k)._2.isNaN && !childRes(k + 1)._2.isNaN)
-    def jobPairClean(k: Int): Boolean = probesCleanIn(childProbeIdx(k), childProbeIdx(k + 1) + 1)
+    def jobPairClean(k: Int): Boolean = childClean(k) && childClean(k + 1)
     def idx32: Seq[Int] = (0 until childCpus.size)
       .filter(k => childCpus(k) == 32 && !childRes(k)._2.isNaN)
-    def clean32Idx: Seq[Int] = idx32.filter(k => probesCleanIn(childProbeIdx(k), childProbeIdx(k) + 1))
+    def clean32Idx: Seq[Int] = idx32.filter(childClean)
     def kernelCleanIdx: Seq[Int] = kernelPairs.indices
-      .filter(j => probesCleanIn(kernelProbeIdx(j), kernelProbeIdx(j) + 1))
+      .filter { j => val (b, a) = kernelBracket(j); probes(b) >= threshold && probes(a) >= threshold }
 
-    // base schedule: 5 (4,16) pairs for a stable median; 3 32-core rounds;
-    // one kernel pair after each group, 3 extra kernel reps at the end
-    val schedule = Seq(Seq(4, 16, 32), Seq(4, 16), Seq(4, 16, 32), Seq(4, 16), Seq(4, 16, 32))
-    schedule.foreach { group => group.foreach(runChild); runKernelPair() }
-    probe() // closing bracket
-    (1 to 3).foreach { _ => runKernelPair(); probe() }
+    // base schedule, front-loaded into the clean start window: the
+    // full-corpus 32-core rounds FIRST (the docs/s headline), then the
+    // small-corpus scaling pairs, kernel pairs interleaved
+    probe()
+    runChild(32)
+    runChild(32)
+    runKernelPair()
+    runPair()
+    runKernelPair()
+    runPair()
+    runPair()
+    runKernelPair()
+    probe()
 
-    // SELF-EVIDENCING RETRY (round-4): the recorded artifact must itself
-    // contain >=2 probe-clean (4,16) job pairs, >=1 probe-clean 32-core
-    // round, and >=2 probe-clean kernel pairs — round 3's run landed
-    // entirely inside a multi-minute throttle window and the artifact
-    // could not prove the gates on its own, and a SINGLE clean job pair
-    // makes the headline a one-sample median (observed clean-pair spread
-    // 0.80-0.98 on this host's memory bus — more clean pairs, steadier
-    // median; the count targets are fixed up front, so the selection
-    // stays outcome-independent). Strategy: probe first; if the window is
-    // clean, run ONLY the missing measurement kinds; if dirty, sleep the
-    // window out. Bounded by attempts AND wall-clock.
-    val retryDeadline = System.nanoTime() + 12L * 60 * 1000 * 1000 * 1000
+    // SELF-EVIDENCING RETRY (round-4, retuned round-5): the recorded
+    // artifact must itself contain >=2 probe-clean (4,16) job pairs, >=1
+    // probe-clean 32-core round, and >=2 probe-clean kernel pairs.
+    // Strategy: probe first; if the window is clean, run ONLY the missing
+    // measurement kinds; if dirty, sleep the window out — 120 s, because
+    // r4's 45 s hops never outlasted the multi-minute throttle. Bounded by
+    // attempts AND wall-clock; the count targets are fixed up front, so
+    // the selection stays outcome-independent.
+    val retryDeadline = System.nanoTime() + 18L * 60 * 1000 * 1000 * 1000
     var attempts = 0
     var retriesUsed = 0
-    while (attempts < 10 && System.nanoTime() < retryDeadline &&
+    while (attempts < 8 && System.nanoTime() < retryDeadline &&
       (jobPairIdx.count(jobPairClean) < 2 || clean32Idx.isEmpty || kernelCleanIdx.size < 2)) {
       val pi = probe()
       if (probes(pi) >= threshold) {
         retriesUsed += 1
         if (kernelCleanIdx.size < 2) runKernelPair()
         if (clean32Idx.isEmpty) runChild(32)
-        if (jobPairIdx.count(jobPairClean) < 2) { runChild(4); runChild(16) }
-        probe() // closing bracket for whatever just ran
-      } else Thread.sleep(45000) // wait out the throttle window
+        if (jobPairIdx.count(jobPairClean) < 2) runPair()
+      } else Thread.sleep(120000) // wait out the throttle window
       attempts += 1
     }
 
@@ -262,8 +295,8 @@ object Bench {
     val kernelSource = if (kernelCleanEffs.nonEmpty) "clean_pairs" else "all_pairs_median"
     val k4 = kernelPairs.map(_._1).max
     val k16 = kernelPairs.map(_._2).max
-    val dps4 = nDocs / sec4
-    val dps16 = nDocs / sec16
+    val dps4 = nDocsSmall / sec4
+    val dps16 = nDocsSmall / sec16
     val dps32 = nDocs / sec32
 
     // headline scaling efficiency + an explicit source label (ADVICE r3:
@@ -302,11 +335,15 @@ object Bench {
     // committed file: round 3 proved the driver records only the TAIL of
     // stdout, which truncated a ~4.5 KB line into an unparseable fragment.
     // The stdout line stays compact (~2 KB) and self-sufficient for the
-    // gates; the file carries the audit trail.
-    val evidencePath = sys.env.getOrElse("SPARK_GRAFT_EVIDENCE", "/root/repo/BENCH_EVIDENCE.json")
+    // gates; the file carries the audit trail. Default path is cwd-relative
+    // and timestamped so a driver run never clobbers a committed curated
+    // artifact (ADVICE r4).
+    val evidencePath = sys.env.getOrElse("SPARK_GRAFT_EVIDENCE",
+      s"BENCH_EVIDENCE_${System.currentTimeMillis / 1000}.json")
     val evidence = Seq(
       "\"sf\":\"" + sfDir + "\"",
       "\"nDocs\":" + nDocs,
+      "\"nDocsSmall\":" + nDocsSmall,
       "\"probe_floor\":" + num(probeFloor),
       "\"probe_threshold\":" + num(threshold),
       "\"retry_attempts\":" + attempts,
@@ -314,12 +351,12 @@ object Bench {
       "\"window_probes_media_per_sec\":" + probes.map(num).mkString("[", ",", "]"),
       "\"child_cpus\":" + childCpus.mkString("[", ",", "]"),
       "\"child_sec\":" + childRes.map(r => num(r._2)).mkString("[", ",", "]"),
-      "\"child_probe_idx\":" + childProbeIdx.mkString("[", ",", "]"),
+      "\"child_probe_bracket\":" + childBracket.map(b => s"[${b._1},${b._2}]").mkString("[", ",", "]"),
       "\"scaling_pairs_sec_4_16\":" + pairsJson(jobPairs),
       "\"scaling_pairs_window_clean\":" + pairEntries.map(_._3).mkString("[", ",", "]"),
       "\"clean_32_rounds_sec\":" + clean32s.map(num).mkString("[", ",", "]"),
       "\"kernel_pairs_media_per_sec_4_16\":" + pairsJson(kernelPairs.toSeq),
-      "\"kernel_probe_idx\":" + kernelProbeIdx.mkString("[", ",", "]"),
+      "\"kernel_probe_bracket\":" + kernelBracket.map(b => s"[${b._1},${b._2}]").mkString("[", ",", "]"),
       "\"kernel_pairs_clean\":" + kernelPairs.indices.map(kernelCleanIdx.contains).mkString("[", ",", "]")
     ).mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get(evidencePath),
@@ -336,6 +373,7 @@ object Bench {
       "extract_sec_local32" -> sec32,
       "extract_span_rows" -> n32.toDouble,
       "extract_docs" -> nDocs.toDouble,
+      "extract_docs_small" -> nDocsSmall.toDouble,
       "kernel_media_per_sec_4t" -> k4,
       "kernel_media_per_sec_16t" -> k16)
     val qs = (queryTimes.map { case (k, v) => k -> num2(v) } ++

@@ -214,11 +214,15 @@ object ExtractJob {
       val s = Files.list(p)
       try s.iterator().asScala.toSeq finally s.close() // Files.list leaks a fd unless closed
     }
-    def newestMTime(p: Path): Long = {
-      val self = Files.getLastModifiedTime(p).toMillis
-      if (Files.isDirectory(p)) listDir(p).foldLeft(self)((m, c) => math.max(m, newestMTime(c)))
-      else self
-    }
+    def newestMTime(p: Path): Long =
+      // a file vanishing mid-walk means a concurrent run is actively
+      // mutating this tree — treat it as "touched now" (never old enough)
+      // instead of letting the NoSuchFileException abort the whole vacuum
+      try {
+        val self = Files.getLastModifiedTime(p).toMillis
+        if (Files.isDirectory(p)) listDir(p).foldLeft(self)((m, c) => math.max(m, newestMTime(c)))
+        else self
+      } catch { case _: java.nio.file.NoSuchFileException => Long.MaxValue }
     def deleteRecursively(p: Path): Unit = {
       if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
       Files.deleteIfExists(p)

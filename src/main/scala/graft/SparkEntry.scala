@@ -334,6 +334,83 @@ object SparkEntry {
       "(1, 'x y z x y z'), (2, 'totally different content here now'), " +
       "(4, 'p q r s t u v')) AS t(doc_id, text)"
 
+  /** Eval-set texts for the streaming decontamination gate: 14-15 words
+    * each, so every one carries real (distinct) 13-grams. */
+  private val decontamEvalTexts = Seq(
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november",
+    "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen")
+
+  /** Decontamination stream waves: docs 2 (exact eval copy), 3 (embeds
+    * eval 13-gram mid-text) and 6 (embeds the other eval's grams) are
+    * contaminated and must be dropped at ingest; 1, 4, 5 are clean (doc
+    * 4 is shorter than 13 tokens — its whole-text fallback gram matches
+    * nothing). */
+  private def decontamWave1: Seq[graft.streaming.StreamingOps.TimedDoc] = {
+    import graft.streaming.StreamingOps.TimedDoc
+    def ts(m: Int) = new java.sql.Timestamp(1767225600000L + m * 60000L)
+    Seq(
+      TimedDoc(1, "the quick brown fox jumps over the lazy dog and keeps on running today", "web", ts(0)),
+      TimedDoc(2, decontamEvalTexts(0), "web", ts(1)),
+      TimedDoc(3, "leading words then alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike closing words", "cc", ts(2)),
+      TimedDoc(4, "clean short doc", "books", ts(3)))
+  }
+  private def decontamWave2: Seq[graft.streaming.StreamingOps.TimedDoc] = {
+    import graft.streaming.StreamingOps.TimedDoc
+    def ts(m: Int) = new java.sql.Timestamp(1767225600000L + m * 60000L)
+    Seq(
+      TimedDoc(5, "another clean document with enough distinct words to look entirely real here", "web", ts(4)),
+      TimedDoc(6, "noise one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen tail", "cc", ts(5)))
+  }
+  private def streamDecontamOracle: String = {
+    val clean = (decontamWave1 ++ decontamWave2).filter(d => Seq(1L, 4L, 5L).contains(d.doc_id))
+    val rows = clean.map(d => s"(${d.doc_id}, ${sqlStr(d.text)})")
+    s"SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM (VALUES ${rows.mkString(", ")}) AS t(doc_id, text)"
+  }
+
+  /** Deterministic synthetic multi-frame (animated) GIFs, pure JDK
+    * sequence writing — 4/7/10 frames, small flat-color rasters (GIF
+    * palettes are exact for few colors, so decode is bit-stable). */
+  private def syntheticGifs: Seq[(String, Array[Byte])] =
+    (0 until 3).map { i =>
+      val frames = 4 + i * 3
+      val w = 20 + i * 6
+      val h = 14 + i * 4
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until frames).foreach { f =>
+        val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val colors = Array(0xff0000, 0x00ff00, 0x0000ff, 0xffff00)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, colors((x / 4 + y / 4 + f + i) % colors.length))
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      writer.dispose()
+      ios.close()
+      (f"gif$i%02d", bos.toByteArray)
+    }
+
+  /** By-construction oracle for q_media_gif_frames: the same gifFrames
+    * dispatch invoked at oracle-build time over the same synthetic GIFs. */
+  private def mediaGifFramesOracle: String = {
+    val rows = syntheticGifs.flatMap { case (ref, bytes) =>
+      MediaOps.sampleFrames("image/gif", bytes, everyNth = 3, maxFrames = 3).map {
+        case (idx, len, crc) => s"(${sqlStr(ref)}, $idx, $len, CAST($crc AS BIGINT))"
+      }
+    }
+    s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(media_ref, frame_idx, frame_len, frame_crc)"
+  }
+
   /** Order-aware oracle: first-seen-wins across waves — within a wave the
     * minimal doc_id per text, across waves the earlier wave's winner. */
   private def streamDedupOracle: String = {
@@ -455,13 +532,18 @@ object SparkEntry {
       // incremental-ingest dedup: drop docs whose text already exists in a
       // prior committed corpus snapshot (here: the deterministic 25%
       // sample stands in for the prior snapshot) — the "don't re-ingest
-      // what's already trained on" step; at scale the prior side is
-      // hashes, not text (same trade as dedupExactByHash)
+      // what's already trained on" step. The anti-join keys on
+      // xxhash64(text), NOT text: at 100 TB the prior side is a persisted
+      // hash table and the shuffle moves 8-byte keys, never document
+      // bodies (PlanSpec pins no text attribute in any exchange). The
+      // oracle joins on text — identical result on a collision-free
+      // corpus (and xxhash64 collisions at corpus scale are ~n²/2⁶⁴).
       "q_dedup_vs_prior" -> ((s: SparkSession, d: String) => {
         val docs = t(s, d, "documents")
         val prior = TrainingOps.deterministicSample(docs, "doc_id", "40000000")
-          .select(col("text"))
-        docs.join(prior, Seq("text"), "left_anti").select(col("doc_id"))
+          .select(xxhash64(col("text")).as("th"))
+        docs.select(col("doc_id"), xxhash64(col("text")).as("th"))
+          .join(prior, Seq("th"), "left_anti").select(col("doc_id"))
       }),
 
       // gap-based sessionization (30-min inactivity closes a session):
@@ -507,6 +589,18 @@ object SparkEntry {
       "q_minhash_lsh_pairs" -> ((s: SparkSession, d: String) =>
         TrainingOps.minhashLshPairs(t(s, d, "documents"))
           .where(col("est_jaccard") >= 0.5).select(col("doc_a"), col("doc_b"))),
+      // LSH routed through a PERSISTED signature table (save→load round
+      // trip) — the compute-signatures-once-per-snapshot production
+      // shape: the consumer plan reads (doc_id, minhash) parquet and
+      // contains NO signature pass at all (PlanSpec pins zero
+      // MapPartitions); same signatures, so the ground-truth pair oracle
+      // is unchanged
+      "q_minhash_lsh_persisted" -> ((s: SparkSession, d: String) => {
+        val sdir = java.nio.file.Files.createTempDirectory("graft-sig").toString + "/minhash"
+        TrainingOps.saveMinhashSignatures(t(s, d, "documents"), sdir)
+        TrainingOps.minhashLshPairsFromSig(TrainingOps.loadMinhashSignatures(s, sdir))
+          .where(col("est_jaccard") >= 0.5).select(col("doc_a"), col("doc_b"))
+      }),
       "q_simhash" -> ((s: SparkSession, d: String) =>
         TrainingOps.simhash(t(s, d, "documents"))),
       // simhash near-dup pairs (4-band bucketing, pigeonhole-exact for
@@ -607,6 +701,12 @@ object SparkEntry {
       // BPE tokenizer training: the first 2 learned merge rules + counts
       "q_bpe_merges" -> ((s: SparkSession, d: String) =>
         TrainingOps.bpeMerges(t(s, d, "documents"), numMerges = 2)),
+      // corpus-wide BPE application of a fixed ranked merge chain — the
+      // heavy production half of the tokenizer loop (merges are plan
+      // literals; one narrow codegen pass + one doc_id aggregation);
+      // replace-chain semantics, DuckDB-verbatim
+      "q_bpe_encode" -> ((s: SparkSession, d: String) =>
+        TrainingOps.bpeEncode(t(s, d, "documents"), Seq("e r", "t h", "th e"))),
       // per-source corpus statistics; every value is exact IEEE-matchable:
       // counts are longs, avg = exact long-sum / count (one double divide),
       // median of integer token counts = (a+b)/2 with all terms exact
@@ -662,6 +762,16 @@ object SparkEntry {
           (f.name, "video/mp4", f.bytes))).toDF("media_ref", "kind", "bytes")
         MediaOps.frameSample(media, everyNth = 7, maxFrames = 5).toDF()
       }),
+      // REAL multi-frame sampling over animated GIFs (pure-JDK indexed
+      // frame decode): decoded dims + raster CRCs, by-construction oracle
+      "q_media_gif_frames" -> ((s: SparkSession, _: String) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val media = sp.createDataset(syntheticGifs.map { case (ref, bytes) =>
+          (ref, "image/gif", bytes)
+        }).toDF("media_ref", "kind", "bytes")
+        MediaOps.frameSample(media, everyNth = 3, maxFrames = 3).toDF()
+      }),
       // SQL-UDF surface, driver-gated with an exact VALUES oracle
       "x_sql_udf" -> ((s: SparkSession, _: String) => {
         graft.functions.PdfFunctions.register(s)
@@ -711,6 +821,21 @@ object SparkEntry {
         s.createDataset(nearStreamWave2).toDF().write.mode("append").parquet(s"$tmp/in")
         graft.streaming.StreamingOps.runDedupStream(s, s"$tmp/in", s"$tmp/out", near = true)
         s.read.parquet(s"$tmp/out/deduped").select(col("doc_id"), col("text"))
+      }),
+      // streaming ingest decontamination: the constant-folded bloom
+      // literal + exact-hash verify as a stateless filter inside a
+      // checkpointed streaming plan, across two AvailableNow runs
+      "x_stream_decontaminate" -> ((s: SparkSession, _: String) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-sdecon").toString
+        val evalDocs = s.createDataset(decontamEvalTexts.zipWithIndex.map {
+          case (t, i) => (9000L + i, t)
+        }).toDF("doc_id", "text")
+        s.createDataset(decontamWave1).toDF().write.mode("append").parquet(s"$tmp/in")
+        graft.streaming.StreamingOps.runDecontaminateStream(s, s"$tmp/in", evalDocs, s"$tmp/out")
+        s.createDataset(decontamWave2).toDF().write.mode("append").parquet(s"$tmp/in")
+        graft.streaming.StreamingOps.runDecontaminateStream(s, s"$tmp/in", evalDocs, s"$tmp/out")
+        s.read.parquet(s"$tmp/out/clean").select(col("doc_id"), col("text"))
       }),
       // Structured-Streaming surface: file-source micro-batches through the
       // same operators, AvailableNow trigger, checkpointed sink
@@ -857,6 +982,9 @@ object SparkEntry {
       // >0.9 only, so LSH-candidates∩(est>=0.5) == all-pairs j>=0.5
       "q_minhash_lsh_pairs" ->
         (shingleCte + s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $jaccardExpr >= 0.5"),
+      // identical signatures through the persisted table → identical pairs
+      "q_minhash_lsh_persisted" ->
+        (shingleCte + s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $jaccardExpr >= 0.5"),
       "q_ngram_jaccard_pairs" ->
         (shingleCte + s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jaccardExpr AS jaccard FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $jaccardExpr >= 0.5"),
       // transitive closure over the ground-truth pair graph (recursive CTE)
@@ -939,6 +1067,13 @@ object SparkEntry {
            |t2 AS (SELECT p, CAST(SUM(freq) AS BIGINT) AS n FROM p2 GROUP BY p ORDER BY n DESC, p LIMIT 1)
            |SELECT CAST(1 AS INTEGER) AS rank, p AS pair, n FROM t1
            |UNION ALL SELECT CAST(2 AS INTEGER) AS rank, p AS pair, n FROM t2""".stripMargin),
+      // the same fixed replace-chain per word, then per-doc token totals
+      "q_bpe_encode" ->
+        ("""WITH w AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents),
+           |s AS (SELECT doc_id, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS syms FROM w WHERE w <> ''),
+           |m AS (SELECT doc_id, replace(replace(replace(syms, ' e r ', ' er '), ' t h ', ' th '), ' th e ', ' the ') AS ms FROM s)
+           |SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(len(string_split(trim(ms), ' '))) AS BIGINT) AS n_bpe_tokens
+           |FROM m GROUP BY doc_id""".stripMargin),
       "q_source_stats" ->
         ("WITH t AS (SELECT source, CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS nt FROM documents) " +
           "SELECT source, COUNT(*) AS n_docs, CAST(MIN(nt) AS BIGINT) AS min_tokens, CAST(MAX(nt) AS BIGINT) AS max_tokens, " +
@@ -969,6 +1104,8 @@ object SparkEntry {
       "x_stream_window" -> streamWindowOracle,
       "x_stream_dedup" -> streamDedupOracle,
       "x_stream_neardedup" -> nearStreamDedupOracle,
+      "x_stream_decontaminate" -> streamDecontamOracle,
+      "q_media_gif_frames" -> mediaGifFramesOracle,
       "x_resume" -> resumeOracle)
     (extraction ++ sql).toMap
   }

@@ -46,7 +46,7 @@ case class BloomContains(left: Expression, right: Expression)
       s"""
          |long $bits = ((long) $a.length) << 3;
          |long $h2 = graft.expressions.BloomContains.mix($b);
-         |boolean $ok = true;
+         |boolean $ok = $bits > 0 && ($bits & ($bits - 1)) == 0;
          |for (int $i = 0; $i < 3 && $ok; $i++) {
          |  long $pos = (($b + $i * $h2) & Long.MAX_VALUE) & ($bits - 1);
          |  $ok = ($a[(int)($pos >>> 3)] & (1 << ($pos & 7))) != 0;
@@ -72,28 +72,43 @@ object BloomContains {
     x ^ (x >>> 31)
   }
 
+  /** Filter byte size for `n` items: `bitsPerItem` bits each, rounded up
+    * to a power of two so the probe mod is a mask. */
+  def sizeBytes(n: Long, bitsPerItem: Int = 12): Int = {
+    var bits = 64L
+    while (bits < n * bitsPerItem) bits <<= 1
+    (bits >>> 3).toInt
+  }
+
+  /** Set one element's k=3 probe bits in an existing (power-of-two sized)
+    * filter — the shared primitive of the driver-side [[build]] and the
+    * distributed partial-filter builder (TrainingOps.buildBloom). */
+  def set(arr: Array[Byte], h: Long): Unit = {
+    val bits = arr.length.toLong << 3
+    val h2 = mix(h)
+    var i = 0
+    while (i < 3) {
+      val pos = ((h + i * h2) & Long.MaxValue) & (bits - 1)
+      arr((pos >>> 3).toInt) = (arr((pos >>> 3).toInt) | (1 << (pos & 7).toInt)).toByte
+      i += 1
+    }
+  }
+
   /** Build a filter over the given element hashes: k=3 probes,
     * `bitsPerItem` bits each (12 → ~1% false positives), byte-array size
     * rounded up to a power of two so the probe mod is a mask. */
   def build(hashes: Array[Long], bitsPerItem: Int = 12): Array[Byte] = {
-    var bits = 64L
-    while (bits < hashes.length.toLong * bitsPerItem) bits <<= 1
-    val arr = new Array[Byte]((bits >>> 3).toInt)
-    hashes.foreach { h =>
-      val h2 = mix(h)
-      var i = 0
-      while (i < 3) {
-        val pos = ((h + i * h2) & Long.MaxValue) & (bits - 1)
-        arr((pos >>> 3).toInt) = (arr((pos >>> 3).toInt) | (1 << (pos & 7).toInt)).toByte
-        i += 1
-      }
-    }
+    val arr = new Array[Byte](sizeBytes(hashes.length.toLong, bitsPerItem))
+    hashes.foreach(set(arr, _))
     arr
   }
 
-  /** Interpreted membership check (shared with nullSafeEval). */
+  /** Interpreted membership check (shared with nullSafeEval). Rejects
+    * malformed filters (empty or non-power-of-two binary — SQL callers can
+    * pass any binary) with `false` instead of corrupt indexing. */
   def contains(arr: Array[Byte], h: Long): Boolean = {
     val bits = arr.length.toLong << 3
+    if (bits == 0 || (bits & (bits - 1)) != 0) return false
     val h2 = mix(h)
     var i = 0
     while (i < 3) {

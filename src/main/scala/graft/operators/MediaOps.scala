@@ -233,16 +233,73 @@ object MediaOps {
     }
   }
 
-  /** Frame sampling over video payloads: one media row fans out to its
-    * sampled frames (every `everyNth`, capped at `maxFrames` — the cap
+  /** REAL multi-frame decode for animated GIF — the one multi-frame
+    * format the pure JDK can decode (ImageIO's GIF reader exposes indexed
+    * frame access via `reader.read(i)`). Per sampled frame:
+    * (frame_idx, frame_len = width×height pixels, CRC32 over the frame's
+    * ARGB raster bytes, row-major big-endian). Frames are the reader's
+    * stored rasters (animation delta frames come back at their stored
+    * size — deterministic). Returns null when no reader claims the
+    * payload. Public so the by-construction oracle invokes the identical
+    * function. */
+  def gifFrames(bytes: Array[Byte], everyNth: Int, maxFrames: Int): Seq[(Int, Int, Long)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false, true)
+        val n = reader.getNumImages(true)
+        val buf = new Array[Byte](4)
+        (0 until n by everyNth).take(maxFrames).map { idx =>
+          val img = reader.read(idx)
+          val w = img.getWidth
+          val h = img.getHeight
+          val crc = new java.util.zip.CRC32()
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              buf(0) = (p >>> 24).toByte
+              buf(1) = (p >>> 16).toByte
+              buf(2) = (p >>> 8).toByte
+              buf(3) = p.toByte
+              crc.update(buf)
+              x += 1
+            }
+            y += 1
+          }
+          (idx, w * h, crc.getValue)
+        }
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Frame-decode dispatch: REAL frames for animated GIF (pure JDK),
+    * declared stub for video (no video codec exists in the JDK). */
+  def sampleFrames(kind: String, bytes: Array[Byte], everyNth: Int, maxFrames: Int): Seq[(Int, Int, Long)] = {
+    if (kind == "image/gif") {
+      try {
+        val r = gifFrames(bytes, everyNth, maxFrames)
+        if (r != null) return r
+      } catch { case _: Exception => } // corrupt GIF → stub fallback
+    }
+    stubFrames(bytes, everyNth, maxFrames)
+  }
+
+  /** Frame sampling over multi-frame payloads: one media row fans out to
+    * its sampled frames (every `everyNth`, capped at `maxFrames` — the cap
     * bounds the fan-out so a pathological 10-hour payload cannot blow a
-    * partition). Decode itself is the declared stub above. */
+    * partition). Decode is REAL for `image/gif` ([[gifFrames]]); video
+    * remains the declared stub above. */
   def frameSample(media: DataFrame, everyNth: Int = 10, maxFrames: Int = 16,
                   numPartitions: Int = 0, heavyBucket: Int = 22)
                  (implicit spark: SparkSession): Dataset[SampledFrame] = {
     import spark.implicits._
     routedFlatMap(media, numPartitions, heavyBucket) { m =>
-      stubFrames(m.bytes, everyNth, maxFrames).iterator.map { case (idx, len, crc) =>
+      sampleFrames(m.kind, m.bytes, everyNth, maxFrames).iterator.map { case (idx, len, crc) =>
         SampledFrame(m.media_ref, idx, len, crc)
       }
     }

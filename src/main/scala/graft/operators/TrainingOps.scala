@@ -118,9 +118,35 @@ object TrainingOps {
     * O(n²) crossjoin). Skewed mega-buckets (boilerplate shingles) are
     * capped via `maxBucket` before any unbounded buffer. */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
-                      shingleK: Int = 3, maxBucket: Int = 64): DataFrame = {
+                      shingleK: Int = 3, maxBucket: Int = 64): DataFrame =
+    minhashLshPairsFromSig(minhash(docs, numHashes, shingleK), numHashes, bands, maxBucket)
+
+  /** Persist a corpus snapshot's minhash signature table — the
+    * compute-once shape: at 100 TB the signature pass is the expensive
+    * narrow scan over every document, and every consumer (LSH pairs,
+    * n-gram candidate generation, dup clustering, streaming near-dup
+    * keys) wants the SAME signatures, so a production pipeline
+    * materializes them once per snapshot next to the corpus and the
+    * consumers read 16 longs per doc instead of re-hashing the text.
+    * Inverse: [[loadMinhashSignatures]]. */
+  def saveMinhashSignatures(docs: DataFrame, path: String,
+                            numHashes: Int = 16, shingleK: Int = 3): Unit =
+    minhash(docs, numHashes, shingleK).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted signature table (doc_id, minhash). Consumers built
+    * on this frame contain NO signature pass at all — PlanSpec pins zero
+    * MapPartitions in the [[minhashLshPairsFromSig]] plan over a load. */
+  def loadMinhashSignatures(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** LSH banding over a precomputed signature frame (doc_id,
+    * minhash: array<long>) — the consumer half of [[minhashLshPairs]],
+    * reusable against [[loadMinhashSignatures]] so one materialized
+    * signature table serves every near-dup consumer without re-scanning
+    * the corpus. */
+  def minhashLshPairsFromSig(mh: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                             maxBucket: Int = 64): DataFrame = {
     val rows = numHashes / bands
-    val mh = minhash(docs, numHashes, shingleK)
     // explode a LITERAL band-index sequence, not an array derived from the
     // signature: Generate plants an implicit `size(input) > 0` filter which
     // Catalyst pushes down and re-evaluates per row if the input is a
@@ -207,7 +233,16 @@ object TrainingOps {
     * pigeonhole: ≤3 flipped bits cannot touch all 4 bands, so every
     * qualifying pair shares at least one untouched band — meaning the
     * bucketed result provably equals the all-pairs answer (the oracle IS
-    * the brute-force formulation). Same scale shape as the MinHash path:
+    * the brute-force formulation) PROVIDED no band bucket exceeds
+    * `maxBucket`: oversized buckets are dropped before pair expansion
+    * (the skew cap), and a near-dup group of more than `maxBucket` docs
+    * occupies the same bucket in all 4 bands, so its pairs are lost —
+    * exactness is conditional on the cap never firing (it cannot fire on
+    * the driver corpus; QueriesSpec documents the capped behavior on a
+    * planted mega-group). An oversize bucket is inherently output-
+    * quadratic (the exact answer itself has O(n²) pairs), so raising
+    * `maxBucket` — not a different algorithm — is the knob when those
+    * pairs are genuinely wanted. Same scale shape as the MinHash path:
     * ONE corpus scan / signature pass, one exchange shared by the window
     * bucket-size cap and the member aggregation, pair expansion bounded by
     * `maxBucket`, hamming evaluated only on candidates. */
@@ -669,9 +704,18 @@ object TrainingOps {
     * (orders of magnitude smaller than the corpus; persisted across
     * rounds), and the only driver traffic is each round's single argmax
     * row. Symbol sequences are space-joined strings and a merge is a
-    * literal `replace(" a b ", " ab ")` — left-to-right non-overlapping,
-    * the exact greedy-application semantics of BPE — which DuckDB's
-    * replace() reproduces verbatim, making every round oracle-exact. */
+    * literal `replace(" a b ", " ab ")`, which DuckDB's replace()
+    * reproduces verbatim, making every round oracle-exact.
+    *
+    * SEMANTICS CAVEAT: the replace consumes the shared delimiter space,
+    * so it is a left-to-right NON-OVERLAPPING-WITH-GAP approximation of
+    * greedy BPE application — a word with ≥4 consecutive identical
+    * symbols merges fewer pairs than Sennrich/HuggingFace BPE ("aaaa" →
+    * " aa a a " here vs "aa aa" standard), and learned merge tables can
+    * diverge on repetitive tokens ("....", "----"). This variant exists
+    * because it is cross-engine verifiable; [[bpeMergesGreedy]] is the
+    * standard-semantics trainer (QueriesSpec documents the divergence on
+    * a 4-repeat word). */
   def bpeMerges(docs: DataFrame, numMerges: Int = 2): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = docs.sparkSession
@@ -709,6 +753,135 @@ object TrainingOps {
     }
     words.unpersist(blocking = false)
     spark.createDataset(merges.result()).toDF("rank", "pair", "n")
+  }
+
+  /** Merge one ranked pair into a symbol sequence, left-to-right
+    * non-overlapping — the Sennrich/HuggingFace rewrite step (correctly
+    * handles runs: ("a","a") over aaaa → aa,aa). */
+  private[graft] def mergePairOnce(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) { out += (a + b); i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** True greedy BPE application (Sennrich/HuggingFace semantics): split
+    * the word into characters, then repeatedly merge all occurrences of
+    * the present pair with the LOWEST rank until no ranked pair remains. */
+  def applyMergesGreedy(word: String, merges: Seq[(String, String)]): Array[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var syms: Array[String] = word.split("")
+    var done = syms.length < 2
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val (a, b) = merges(best)
+        syms = mergePairOnce(syms, a, b)
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  /** [[bpeMerges]] with STANDARD (Sennrich/HuggingFace) rewrite
+    * semantics: pair counting is identical (one explode + partial-agg
+    * count over the persisted distinct-word vocab, 1-row argmax per
+    * round), but each round's rewrite is a typed narrow pass applying
+    * [[mergePairOnce]] — so runs of identical symbols merge pairwise
+    * ("aaaa" → aa,aa) instead of the replace-chain's gap behavior. Not
+    * SQL-oracle-expressible (no engine-portable pairwise list rewrite),
+    * so it is pinned by sbt specs (textbook low/lower/newest corpus + a
+    * 4-repeat word) rather than a driver row. */
+  def bpeMergesGreedy(docs: DataFrame, numMerges: Int = 2): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairsExpr =
+      """CASE WHEN size(syms) > 1
+        |  THEN transform(sequence(1, size(syms) - 1), i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))
+        |  ELSE array() END""".stripMargin
+    var vocab = docs.select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("syms"), col("freq"))
+      .as[(Seq[String], Long)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val top = vocab.toDF("syms", "freq")
+        .select(explode(expr(pairsExpr)).as("p"), col("freq"))
+        .groupBy(col("p")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("p")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        merges += ((rank, pair, top(0).getLong(1)))
+        val Array(a, b) = pair.split(" ", 2)
+        val next = vocab.map { case (syms, f) => (mergePairOnce(syms.toArray, a, b).toSeq, f) }
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the previous round
+        vocab.unpersist(blocking = false)
+        vocab = next
+        rank += 1
+      }
+    }
+    vocab.unpersist(blocking = false)
+    spark.createDataset(merges.result()).toDF("rank", "pair", "n")
+  }
+
+  /** Apply a fixed ranked merge chain corpus-wide and count the resulting
+    * tokens per document — the heavy production half of the tokenizer
+    * loop ([[bpeMerges]] trains on the small distinct-word vocab; encoding
+    * touches every document). The merges are PLAN LITERALS (a merge table
+    * is KBs — nothing to broadcast or shuffle), so the whole rewrite is
+    * one narrow whole-stage-codegen pass; the only exchange is the final
+    * per-doc aggregation on doc_id. Rewrite uses the same replace-chain
+    * semantics as [[bpeMerges]] (caveat there; DuckDB-verbatim, which is
+    * what makes the driver row oracle-exact); [[bpeEncodeGreedy]] is the
+    * Sennrich-exact variant. Merges are " a b"-style space-joined pairs
+    * applied in list order. */
+  def bpeEncode(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    val words = docs.select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+    val syms0 = concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
+    val merged = merges.foldLeft(syms0) { (c, p) =>
+      replace(c, lit(" " + p + " "), lit(" " + p.replace(" ", "") + " "))
+    }
+    words.select(col("doc_id"), size(split(trim(merged), " ")).cast("long").as("n"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_bpe_tokens"))
+  }
+
+  /** [[bpeEncode]] with standard greedy semantics: a typed per-partition
+    * pass applying [[applyMergesGreedy]] per word (the rank map is a tiny
+    * closure-captured literal). Same output shape as [[bpeEncode]]; the
+    * two agree on any corpus without ≥4-symbol runs interacting with a
+    * learned merge (QueriesSpec pins both the agreement and the "aaaa"
+    * divergence). */
+  def bpeEncodeGreedy(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val ws = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+          var total = 0L
+          ws.foreach { w => total += applyMergesGreedy(w, merges).length }
+          (id, ws.length.toLong, total)
+        }
+      }.toDF("doc_id", "n_words", "n_bpe_tokens")
   }
 
   /** Canonical-document selection: per dup cluster keep the "best" doc
@@ -811,8 +984,7 @@ object TrainingOps {
     graft.expressions.BloomContains.register(docs.sparkSession)
     val evalGrams = evalDocs
       .select(explode(array_distinct(shingles(col("text"), n))).as("g")).distinct()
-    val hashes = evalGrams.select(xxhash64(col("g")).as("h")).collect().map(_.getLong(0))
-    val bloom = graft.expressions.BloomContains.build(hashes, bitsPerItem)
+    val bloom = buildBloom(evalGrams, "g", bitsPerItem)
     val bloomB64 = java.util.Base64.getEncoder.encodeToString(bloom)
     val candidates = docs
       .select(col("doc_id"), explode(array_distinct(shingles(col("text"), n))).as("g"))
@@ -822,6 +994,31 @@ object TrainingOps {
       .join(evalGrams, Seq("g"), "left_semi") // exact verify kills bloom FPs
       .select(col("doc_id")).distinct()
     docs.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Build a bloom filter over a gram column DISTRIBUTED: each partition
+    * folds its grams into a partial filter and `Dataset.reduce` ORs the
+    * partials — the driver only ever receives filter-sized byte arrays,
+    * never the gram list, so nothing here is unbounded in the input size
+    * (the one collect a misuse of [[decontaminateBloom]] with a huge
+    * "eval" set could previously hit). Two passes over the (small) gram
+    * frame: a count to size the filter, then the fold. */
+  def buildBloom(grams: DataFrame, gramCol: String, bitsPerItem: Int = 12): Array[Byte] = {
+    val spark = grams.sparkSession
+    import spark.implicits._
+    val hashes = grams.select(xxhash64(col(gramCol)).as("h")).as[Long]
+    val nItems = hashes.count()
+    val nBytes = graft.expressions.BloomContains.sizeBytes(math.max(1L, nItems), bitsPerItem)
+    if (nItems == 0) new Array[Byte](nBytes) // valid (pow-2) filter matching nothing
+    else hashes.mapPartitions { it =>
+      val arr = new Array[Byte](nBytes)
+      it.foreach(graft.expressions.BloomContains.set(arr, _))
+      Iterator.single(arr)
+    }.reduce { (a, b) =>
+      var i = 0
+      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+      a
+    }
   }
 
   /** Repetition quality signals (the Gopher-style repetition filters):

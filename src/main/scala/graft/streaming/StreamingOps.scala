@@ -167,4 +167,56 @@ object StreamingOps {
       .start()
     q.awaitTermination()
   }
+
+  /** Ingest-time decontamination predicate (keep = true): a doc passes
+    * iff NONE of its word `n`-grams appears in the eval set. Built as a
+    * STATELESS per-row filter so it drops contaminated docs inside any
+    * streaming plan — no joins, no state store, deterministic under
+    * micro-batch replay:
+    *   1. the eval grams' bloom filter rides as a constant-folded BINARY
+    *      literal (the same `graft_bloom_contains` expression the batch
+    *      tier embeds) — ~99% of grams rejected without touching stage 2;
+    *   2. bloom survivors hit the exact eval gram-hash literal array,
+    *      which kills the false positives.
+    * Both stages are plan literals — the contract of an eval snapshot
+    * (KBs–MBs of grams by definition; at production scale the pair is
+    * built once per eval release by [[graft.operators.TrainingOps.buildBloom]]
+    * and shipped with the job). Equality with the batch
+    * `TrainingOps.decontaminate` holds modulo xxhash64 gram collisions
+    * (the batch exact tier compares gram strings; StreamingSpec pins
+    * batch≡stream agreement on the driver fixtures). */
+  def decontaminateFilter(evalDocs: DataFrame, n: Int = 13,
+                          bitsPerItem: Int = 12): org.apache.spark.sql.Column = {
+    import graft.operators.TrainingOps
+    val spark = evalDocs.sparkSession
+    import spark.implicits._
+    graft.expressions.BloomContains.register(spark)
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(TrainingOps.shingles(col("text"), n))).as("g")).distinct()
+    val bloom = TrainingOps.buildBloom(evalGrams, "g", bitsPerItem)
+    val b64 = java.util.Base64.getEncoder.encodeToString(bloom)
+    val hashes = evalGrams.select(xxhash64(col("g")).as("h")).as[Long].collect()
+    val hashLit = lit(hashes)
+    !exists(array_distinct(TrainingOps.shingles(col("text"), n)),
+      g => call_function(graft.expressions.BloomContains.name, unbase64(lit(b64)), xxhash64(g)) &&
+        array_contains(hashLit, xxhash64(g)))
+  }
+
+  /** Run streaming decontamination over a file-source directory of
+    * TimedDoc parquet with an AvailableNow trigger: contaminated docs are
+    * dropped at ingest, clean docs land in `outDir/clean`, checkpointed
+    * (a restart resumes from the last committed batch). */
+  def runDecontaminateStream(spark: SparkSession, inDir: String, evalDocs: DataFrame,
+                             outDir: String, n: Int = 13): Unit = {
+    val schema = org.apache.spark.sql.Encoders.product[TimedDoc].schema
+    val in = spark.readStream.schema(schema).parquet(inDir)
+    val q: StreamingQuery = in.where(decontaminateFilter(evalDocs, n)).writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", s"$outDir/clean")
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -64,4 +64,31 @@ class BloomContainsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val bloom = ids(operators.TrainingOps.decontaminateBloom(docs, eval_))
     assert(bloom == exact && exact == Set(3L, 4L), s"exact $exact bloom $bloom")
   }
+
+  test("malformed filters (empty / non-power-of-two binary) return false, never crash") {
+    BloomContains.register(spark)
+    assert(!BloomContains.contains(Array.empty[Byte], 42L))
+    assert(!BloomContains.contains(new Array[Byte](3), 42L)) // 24 bits: not a power of two
+    val b64ok = java.util.Base64.getEncoder.encodeToString(BloomContains.build(Array(42L)))
+    // codegen path: the same guards inside the generated loop (spark.range
+    // keeps the expressions out of ConvertToLocalRelation constant folding)
+    val r = spark.range(1).selectExpr(
+      "graft_bloom_contains(CAST('' AS BINARY), 42L) AS e",
+      "graft_bloom_contains(CAST('abc' AS BINARY), 42L) AS n",
+      s"graft_bloom_contains(unbase64('$b64ok'), 42L) AS ok").collect()(0)
+    assert(!r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2))
+  }
+
+  test("distributed buildBloom (partition partials + OR-fold) equals the driver-side build") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 3000).map(i => s"gram-$i").toDF("g").repartition(7)
+    val dist = operators.TrainingOps.buildBloom(df, "g", bitsPerItem = 12)
+    val hashes = df.select(xxhash64(col("g"))).as[Long].collect()
+    val driver = BloomContains.build(hashes, bitsPerItem = 12)
+    assert(java.util.Arrays.equals(dist, driver))
+    // empty gram set → a valid (power-of-two) filter matching nothing
+    val empty = operators.TrainingOps.buildBloom(df.where(lit(false)), "g")
+    assert(empty.nonEmpty && !BloomContains.contains(empty, 7L))
+  }
 }

@@ -79,6 +79,41 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(MediaOps.stubFrames(bytes, 1, 16).size <= 16)
   }
 
+  private def gif(frames: Int, w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until frames) {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val colors = Array(0xff0000, 0x00ff00, 0x0000ff)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, colors((x / 3 + y / 3 + f) % 3))
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("gifFrames: REAL indexed multi-frame decode — stride, cap, determinism, dispatch") {
+    val bytes = gif(frames = 5, w = 12, h = 10)
+    val fs = MediaOps.gifFrames(bytes, everyNth = 2, maxFrames = 2)
+    assert(fs.map(_._1) == Seq(0, 2), fs)
+    fs.foreach { case (_, len, _) => assert(len == 12 * 10) } // real decoded dims
+    assert(fs == MediaOps.gifFrames(bytes, 2, 2)) // deterministic rasters
+    val all = MediaOps.gifFrames(bytes, 1, 16)
+    assert(all.size == 5, all)
+    assert(all.map(_._3).distinct.size > 1, "frames must differ") // real per-frame content
+    // dispatch: image/gif → real frames; video stays the declared stub
+    assert(MediaOps.sampleFrames("image/gif", bytes, 2, 2) == fs)
+    assert(MediaOps.sampleFrames("video/mp4", bytes, 2, 2) == MediaOps.stubFrames(bytes, 2, 2))
+    // corrupt GIF payload falls back to the stub instead of throwing
+    val junk = Array.fill[Byte](32)(7)
+    assert(MediaOps.sampleFrames("image/gif", junk, 2, 2) == MediaOps.stubFrames(junk, 2, 2))
+  }
+
   test("decode dispatch: pdf payload falls back to the deterministic stub") {
     val bytes = "not an image".getBytes
     val (w, h, f1) = MediaOps.decode("application/pdf", bytes, 4)

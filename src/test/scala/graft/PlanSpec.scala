@@ -105,6 +105,31 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kernels == 1, s"$kernels MapPartitions (want 1):\n$p")
   }
 
+  test("LSH over a persisted signature table plans ZERO signature passes") {
+    val dir = java.nio.file.Files.createTempDirectory("plan-sig").toString + "/minhash"
+    operators.TrainingOps.saveMinhashSignatures(
+      spark.read.parquet(s"$sfDir/documents.parquet"), dir)
+    val df = operators.TrainingOps.minhashLshPairsFromSig(
+      operators.TrainingOps.loadMinhashSignatures(spark, dir))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // the consumer reads (doc_id, minhash) parquet: no typed minhash
+    // kernel anywhere in the plan, and exactly one scan (the sig table)
+    assert(!p.contains("MapPartitions"), s"signature pass in consumer plan:\n$p")
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans == 1, s"$scans FileScans (want 1):\n$p")
+  }
+
+  test("dedup-vs-prior: every exchange carries hash keys, text never shuffles") {
+    val df = SparkEntry.queries("q_dedup_vs_prior")(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, p)
+    exchanges.foreach(l =>
+      assert(!l.contains("text#"), s"text attribute crosses an exchange: $l\n$p"))
+  }
+
   test("ngram jaccard plans exactly 2 corpus scans: signature pass + shared shingle pass") {
     val df = operators.TrainingOps.ngramJaccardPairs(
       spark.read.parquet(s"$sfDir/documents.parquet"), threshold = 0.5)

@@ -262,6 +262,54 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.toSeq == Seq((1, "a b", 1L)), s"got ${m.toSeq}") // after "a b"->"ab" no pairs remain
   }
 
+  test("greedy BPE trainer: textbook agreement off runs, Sennrich semantics on runs") {
+    val sp = spark; import sp.implicits._
+    // run-free corpus: greedy and replace-chain trainers learn identically
+    val docs = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "newest"))
+      .toDF("doc_id", "text")
+    val g = operators.TrainingOps.bpeMergesGreedy(docs, numMerges = 2)
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(g == Seq((1, "l o", 5L), (2, "lo w", 5L)), s"got $g")
+    // the ADVICE 4-repeat case: after round 1 ("a a", count 6) the
+    // replace-chain rewrite consumes the shared delimiter (" aa a a ")
+    // while the greedy rewrite merges pairwise ("aa aa") — so round 2
+    // learns DIFFERENT rules, exactly the documented divergence
+    val runs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val rep = operators.TrainingOps.bpeMerges(runs, numMerges = 2)
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    val grd = operators.TrainingOps.bpeMergesGreedy(runs, numMerges = 2)
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(rep == Seq((1, "a a", 6L), (2, "a a", 2L)), s"got $rep")
+    assert(grd == Seq((1, "a a", 6L), (2, "aa aa", 2L)), s"got $grd")
+    // the greedy application primitive itself
+    assert(operators.TrainingOps.applyMergesGreedy("aaaa", Seq(("a", "a"))).toSeq ==
+      Seq("aa", "aa"))
+    assert(operators.TrainingOps.applyMergesGreedy("aaaa", Seq(("a", "a"), ("aa", "aa"))).toSeq ==
+      Seq("aaaa"))
+    assert(operators.TrainingOps.applyMergesGreedy("lower",
+      Seq(("l", "o"), ("lo", "w"), ("e", "r"))).toSeq == Seq("low", "er"))
+  }
+
+  test("bpeEncode: replace-chain equals greedy on run-free text, documented divergence on runs") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "the other era"), (2L, "weather report")).toDF("doc_id", "text")
+    val chain = Seq("e r", "t h", "th e")
+    val pairs = Seq(("e", "r"), ("t", "h"), ("th", "e"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val a = rows(operators.TrainingOps.bpeEncode(docs, chain))
+    val b = rows(operators.TrainingOps.bpeEncodeGreedy(docs, pairs))
+    assert(a == b, s"replace $a vs greedy $b")
+    assert(a == Seq((1L, 3L, 6L), (2L, 2L, 11L)), s"got $a") // the|o,th,er|er,a / w,e,a,th,er|r,e,p,o,r,t
+    // 4-repeat divergence: " a a a a " replace-merges once (3 tokens),
+    // greedy merges pairwise (2 tokens)
+    val runs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val ra = rows(operators.TrainingOps.bpeEncode(runs, Seq("a a")))
+    val rg = rows(operators.TrainingOps.bpeEncodeGreedy(runs, Seq(("a", "a"))))
+    assert(ra == Seq((1L, 1L, 3L)), s"got $ra")
+    assert(rg == Seq((1L, 1L, 2L)), s"got $rg")
+  }
+
   test("decontaminate drops docs sharing any 13-gram with the eval set") {
     val sp = spark; import sp.implicits._
     val evalText = (1 to 13).map(i => s"ev$i").mkString(" ")

@@ -41,6 +41,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq(1L, 2L, 11L), s"got ${got.toSeq}")
   }
 
+  test("streaming decontamination: bloom+exact literal filter, checkpointed waves, batch agreement") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingOps
+    import StreamingOps.TimedDoc
+    def ts(m: Int) = new java.sql.Timestamp(1767225600000L + m * 60000L)
+    val evalText = (1 to 14).map(i => s"ev$i").mkString(" ")
+    val evalDocs = Seq((100L, evalText)).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("sdecon-spec").toString
+    val wave1 = Seq(
+      TimedDoc(1, (1 to 20).map(i => s"clean$i").mkString(" "), "w", ts(0)),
+      TimedDoc(2, evalText, "w", ts(1)), // exact eval copy → dropped
+      TimedDoc(3, s"prefix words $evalText suffix", "w", ts(2))) // embedded 13-gram → dropped
+    val wave2 = Seq(
+      TimedDoc(4, "short clean doc", "w", ts(3)),
+      TimedDoc(5, s"late arrival with $evalText inside", "w", ts(4))) // dropped across restart
+    s.createDataset(wave1).toDF().write.mode("append").parquet(s"$base/in")
+    StreamingOps.runDecontaminateStream(s, s"$base/in", evalDocs, s"$base/out")
+    s.createDataset(wave2).toDF().write.mode("append").parquet(s"$base/in")
+    StreamingOps.runDecontaminateStream(s, s"$base/in", evalDocs, s"$base/out")
+    val got = s.read.parquet(s"$base/out/clean").select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 4L), s"got ${got.toSeq}")
+    // batch ≡ stream: the batch decontaminate tier keeps the same ids on
+    // the identical combined input
+    val all = s.createDataset(wave1 ++ wave2).toDF()
+    val batch = operators.TrainingOps.decontaminate(all, evalDocs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(batch.toSeq == got.toSeq, s"batch ${batch.toSeq} vs stream ${got.toSeq}")
+  }
+
   test("streaming dedup event-time TTL: idle keys expire and re-admit; fresh keys still dedup") {
     val s = spark
     import s.implicits._
