@@ -13,6 +13,10 @@ package graft
   *   runMain graft.Cli clean <documents.pq> <outDir>
   *       normalize → dedup → quality-gate → deterministic-sample; kept
   *       doc_ids written as parquet under outDir
+  *   runMain graft.Cli tokenize <documents.pq> <outDir> [numMerges]
+  *       the tokenizer loop: learn BPE merges on the corpus (greedy,
+  *       Sennrich semantics), write the merge table to outDir/merges and
+  *       per-doc encoded token counts to outDir/encoded
   *
   * Errors on a file print to stderr and set a nonzero exit code, but do
   * not stop remaining files (batch-friendly, same posture as the
@@ -50,6 +54,27 @@ object Cli {
       val kept = operators.TrainingOps.cleanCorpus(spark.read.parquet(args(1)))
       kept.write.mode("overwrite").parquet(args(2))
       println(s"kept_docs=${spark.read.parquet(args(2)).count()}")
+
+    case Some("tokenize") =>
+      if (args.length < 3) {
+        System.err.println("usage: graft.Cli tokenize <documents.parquet> <outDir> [numMerges]")
+        sys.exit(2)
+      }
+      val spark = session()
+      val numMerges = if (args.length > 3) args(3).toInt else 16
+      val docs = spark.read.parquet(args(1))
+      val mergesDf = operators.TrainingOps.bpeMergesGreedy(docs, numMerges)
+      mergesDf.write.mode("overwrite").parquet(s"${args(2)}/merges")
+      // re-read so both outputs come from the same committed merge table
+      val merges = spark.read.parquet(s"${args(2)}/merges")
+        .orderBy(org.apache.spark.sql.functions.col("rank"))
+        .collect().map { r =>
+          val Array(a, b) = r.getString(1).split(" ", 2)
+          (a, b)
+        }.toSeq
+      operators.TrainingOps.bpeEncodeGreedy(docs, merges)
+        .write.mode("overwrite").parquet(s"${args(2)}/encoded")
+      println(s"merges=${merges.size} encoded_docs=${spark.read.parquet(s"${args(2)}/encoded").count()}")
 
     case _ =>
       val (flags, files) = args.partition(_.startsWith("--"))

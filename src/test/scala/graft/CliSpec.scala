@@ -68,6 +68,20 @@ class CliSpec extends AnyFunSuite {
       val out2 = withCapturedOut(Cli.main(Array("clean", s"$base/documents", s"$base/cleaned")))
       assert(out2.trim.startsWith("kept_docs="), s"got [$out2]")
       assert(spark.read.parquet(s"$base/cleaned").columns.toSeq == Seq("doc_id"))
+
+      // tokenize: learn greedy merges, persist the table, encode the corpus
+      spark.createDataset(Seq((1L, "low low low"), (2L, "lower lower"), (3L, "newest")))
+        .toDF("doc_id", "text").write.parquet(s"$base/tok_docs")
+      val out3 = withCapturedOut(Cli.main(Array("tokenize", s"$base/tok_docs", s"$base/tok", "2")))
+      assert(out3.trim == "merges=2 encoded_docs=3", s"got [$out3]")
+      val merges = spark.read.parquet(s"$base/tok/merges")
+        .orderBy("rank").as[(Int, String, Long)].collect().toSeq
+      assert(merges == Seq((1, "l o", 5L), (2, "lo w", 5L)), s"got $merges")
+      val enc = spark.read.parquet(s"$base/tok/encoded")
+        .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+      // doc1: "low"×3 → [low] each = 3 tokens; doc2: "lower"×2 → [low,e,r] = 6;
+      // doc3: "newest" → no learned merge applies = 6 chars
+      assert(enc == Seq((1L, 3L, 3L), (2L, 2L, 6L), (3L, 1L, 6L)), s"got $enc")
     } finally spark.stop()
   }
 }
