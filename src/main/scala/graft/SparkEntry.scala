@@ -695,6 +695,20 @@ object SparkEntry {
       // Gopher-style repetition filter inputs
       "q_repetition" -> ((s: SparkSession, d: String) =>
         TrainingOps.repetitionSignals(t(s, d, "documents"))),
+      // cross-document boilerplate line removal (CCNet-style line-level
+      // dedup), non-vacuous via planted multi-line rows sharing a
+      // "SUBSCRIBE NOW" line (corpus texts are single-line; corpus-level
+      // exact-dup texts are single boilerplate "lines" and scrub to "")
+      "q_boilerplate_lines" -> ((s: SparkSession, d: String) => {
+        import s.implicits._
+        val planted = Seq(
+          (910001L, "unique first line\nSUBSCRIBE NOW\nunique second line"),
+          (910002L, "another start\nSUBSCRIBE NOW\nanother end"),
+          (910003L, "SUBSCRIBE NOW"),
+          (910004L, "totally unique document")).toDF("doc_id", "text")
+        TrainingOps.removeBoilerplateLines(
+          t(s, d, "documents").select(col("doc_id"), col("text")).unionByName(planted))
+      }),
       // context-window assembly over the token-budget chunks
       "q_packed_text" -> ((s: SparkSession, d: String) =>
         TrainingOps.packChunks(t(s, d, "documents"), budget = 256)),
@@ -1032,6 +1046,20 @@ object SparkEntry {
         ("SELECT doc_id, source, nt AS n_tokens, " +
           "CAST(FLOOR(COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256) AS BIGINT) AS chunk_id " +
           "FROM (SELECT doc_id, source, CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS nt FROM documents) t"),
+      // line df via COUNT(DISTINCT doc_id); Spark joins on xxhash64(line),
+      // the oracle on line strings — identical absent collisions
+      "q_boilerplate_lines" ->
+        ("""WITH d AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM (VALUES
+           |  (910001, 'unique first line' || chr(10) || 'SUBSCRIBE NOW' || chr(10) || 'unique second line'),
+           |  (910002, 'another start' || chr(10) || 'SUBSCRIBE NOW' || chr(10) || 'another end'),
+           |  (910003, 'SUBSCRIBE NOW'),
+           |  (910004, 'totally unique document')) v(doc_id, text)),
+           |g AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS idx, unnest(l) AS line
+           |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM d) t),
+           |bp AS (SELECT line FROM (SELECT line, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY line) f WHERE df >= 2),
+           |kept AS (SELECT doc_id, idx, line FROM g WHERE line NOT IN (SELECT line FROM bp)),
+           |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text FROM kept GROUP BY doc_id)
+           |SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text FROM d LEFT JOIN r USING (doc_id)""".stripMargin),
       "q_decontaminate" -> decontaminateOracle,
       // the bloom path is an exact-verified pre-filter: same answer
       "q_decontaminate_bloom" -> decontaminateOracle,

@@ -1021,6 +1021,40 @@ object TrainingOps {
     }
   }
 
+  /** Cross-document boilerplate LINE removal (the CCNet/RefinedWeb
+    * line-level dedup step): a line appearing in ≥ `minDocs` DISTINCT
+    * documents is boilerplate (navigation, cookie banners, "subscribe"
+    * footers) and is dropped from every document; survivors are
+    * reassembled in original line order. Every document comes back (a
+    * doc that was pure boilerplate comes back with empty text), so the
+    * op is a text rewrite, not a filter.
+    *
+    * Scale shape: the line document-frequency aggregation shuffles
+    * 8-byte xxhash64 line keys (never line text); the per-(line, doc)
+    * distinct and the frequency count are both partial-aggregated.
+    * Reassembly is one shuffle on doc_id with the collect_list buffer
+    * bounded by a single document's line count. At 100 TB the frequency
+    * table (lines with df ≥ minDocs — boilerplate is by definition a
+    * small distinct set) broadcasts into the anti-join. Exact modulo
+    * xxhash64 line collisions (the oracle compares line strings). */
+  def removeBoilerplateLines(docs: DataFrame, minDocs: Long = 2): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+    val boilerplate = lines
+      .select(xxhash64(col("line")).as("lh"), col("doc_id")).distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocs)
+      .select(col("lh"))
+    val kept = lines.withColumn("lh", xxhash64(col("line")))
+      .join(boilerplate, Seq("lh"), "left_anti")
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+        s => s.getField("line")), "\n").as("clean_text"))
+    docs.select(col("doc_id"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Repetition quality signals (the Gopher-style repetition filters):
     * per document, the fraction of all word bigrams taken by the single
     * most frequent bigram (boilerplate and degenerate repetition push it

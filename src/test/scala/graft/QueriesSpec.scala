@@ -262,6 +262,28 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.toSeq == Seq((1, "a b", 1L)), s"got ${m.toSeq}") // after "a b"->"ab" no pairs remain
   }
 
+  test("boilerplate line removal: shared lines scrubbed, order kept, pure-boilerplate docs empty") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "keep one\nBOILER\nkeep two"),
+      (2L, "BOILER\nother keep"),
+      (3L, "BOILER"),
+      (4L, "solo document")).toDF("doc_id", "text")
+    val got = operators.TrainingOps.removeBoilerplateLines(docs)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "keep one\nkeep two"),
+      (2L, "other keep"),
+      (3L, ""),
+      (4L, "solo document")), s"got $got")
+    // a line repeated only WITHIN one doc is not boilerplate (df counts
+    // distinct docs) and survives with its multiplicity intact
+    val within = Seq((1L, "x\nx\ny"), (2L, "z")).toDF("doc_id", "text")
+    val g2 = operators.TrainingOps.removeBoilerplateLines(within)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(g2 == Seq((1L, "x\nx\ny"), (2L, "z")), s"got $g2")
+  }
+
   test("greedy BPE trainer: textbook agreement off runs, Sennrich semantics on runs") {
     val sp = spark; import sp.implicits._
     // run-free corpus: greedy and replace-chain trainers learn identically
