@@ -120,6 +120,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans == 1, s"$scans FileScans (want 1):\n$p")
   }
 
+  test("boilerplate removal: line document-frequency aggregates 8-byte hash keys, not line text") {
+    val df = operators.TrainingOps.removeBoilerplateLines(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    val p = plan(df)
+    // the df count's partial-agg rows are [lh, count] — line text stays in
+    // the scan stage (reassembly necessarily carries lines, keyed doc_id)
+    val partial = p.linesIterator.filter(_.contains("partial_count")).toSeq
+    assert(partial.nonEmpty, p)
+    partial.foreach(l => assert(l.contains("lh#") && !l.contains("line#"),
+      s"line text in the frequency aggregation: $l"))
+  }
+
   test("dedup-vs-prior: every exchange carries hash keys, text never shuffles") {
     val df = SparkEntry.queries("q_dedup_vs_prior")(spark, sfDir)
     df.collect()
