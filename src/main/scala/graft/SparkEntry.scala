@@ -836,6 +836,29 @@ object SparkEntry {
         graft.streaming.StreamingOps.runDedupStream(s, s"$tmp/in", s"$tmp/out", near = true)
         s.read.parquet(s"$tmp/out/deduped").select(col("doc_id"), col("text"))
       }),
+      // streaming boilerplate scrub: the line-hash set trained by a
+      // batch job (boilerplateLineHashes over a "prior snapshot") rides
+      // as a plan literal inside a stateless streaming rewrite, across
+      // two checkpointed AvailableNow waves
+      "x_stream_boilerplate" -> ((s: SparkSession, _: String) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-sboiler").toString
+        val prior = Seq((1L, "x\nFOOTER LINE"), (2L, "FOOTER LINE\ny"))
+          .toDF("doc_id", "text")
+        val hashes = TrainingOps.boilerplateLineHashes(prior).as[Long].collect()
+        def ts(m: Int) = new java.sql.Timestamp(1767225600000L + m * 60000L)
+        import graft.streaming.StreamingOps.TimedDoc
+        val wave1 = Seq(
+          TimedDoc(11, "keep a\nFOOTER LINE\nkeep b", "web", ts(0)),
+          TimedDoc(12, "FOOTER LINE", "web", ts(1)),
+          TimedDoc(13, "clean only", "books", ts(2)))
+        val wave2 = Seq(TimedDoc(14, "also keep\nFOOTER LINE", "cc", ts(3)))
+        s.createDataset(wave1).toDF().write.mode("append").parquet(s"$tmp/in")
+        graft.streaming.StreamingOps.runScrubBoilerplateStream(s, s"$tmp/in", hashes, s"$tmp/out")
+        s.createDataset(wave2).toDF().write.mode("append").parquet(s"$tmp/in")
+        graft.streaming.StreamingOps.runScrubBoilerplateStream(s, s"$tmp/in", hashes, s"$tmp/out")
+        s.read.parquet(s"$tmp/out/scrubbed").select(col("doc_id"), col("clean_text"))
+      }),
       // streaming ingest decontamination: the constant-folded bloom
       // literal + exact-hash verify as a stateless filter inside a
       // checkpointed streaming plan, across two AvailableNow runs
@@ -1133,6 +1156,10 @@ object SparkEntry {
       "x_stream_dedup" -> streamDedupOracle,
       "x_stream_neardedup" -> nearStreamDedupOracle,
       "x_stream_decontaminate" -> streamDecontamOracle,
+      "x_stream_boilerplate" ->
+        ("SELECT CAST(doc_id AS BIGINT) AS doc_id, clean_text FROM (VALUES " +
+          "(11, 'keep a' || chr(10) || 'keep b'), (12, ''), (13, 'clean only'), " +
+          "(14, 'also keep')) AS t(doc_id, clean_text)"),
       "q_media_gif_frames" -> mediaGifFramesOracle,
       "x_resume" -> resumeOracle)
     (extraction ++ sql).toMap

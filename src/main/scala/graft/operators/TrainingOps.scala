@@ -1021,6 +1021,20 @@ object TrainingOps {
     }
   }
 
+  /** The boilerplate line-hash set of a corpus snapshot (xxhash64 of
+    * every line appearing in ≥ `minDocs` distinct docs) — the
+    * train-once half of STREAMING boilerplate removal: a periodic batch
+    * job materializes this (small — boilerplate is a bounded distinct
+    * set) and the streaming ingest filter applies it as a plan literal
+    * (StreamingOps.scrubBoilerplateLines). Same frequency pipeline as
+    * [[removeBoilerplateLines]]: 8-byte keys, partial-aggregated. */
+  def boilerplateLineHashes(docs: DataFrame, minDocs: Long = 2): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .select(xxhash64(col("line")).as("lh"), col("doc_id")).distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocs)
+      .select(col("lh"))
+
   /** Cross-document boilerplate LINE removal (the CCNet/RefinedWeb
     * line-level dedup step): a line appearing in ≥ `minDocs` DISTINCT
     * documents is boilerplate (navigation, cookie banners, "subscribe"

@@ -202,6 +202,39 @@ object StreamingOps {
         array_contains(hashLit, xxhash64(g)))
   }
 
+  /** Streaming boilerplate-line scrub: rewrite `text`, dropping every
+    * line whose xxhash64 is in `lineHashes` (the set a periodic batch
+    * job materializes via `TrainingOps.boilerplateLineHashes` — small by
+    * definition, so it rides as a plan literal). STATELESS per-row
+    * rewrite: order and within-doc multiplicity preserved, pure
+    * boilerplate rewrites to "", works identically in batch and
+    * streaming plans (StreamingSpec pins parity against
+    * `TrainingOps.removeBoilerplateLines` on a shared snapshot). */
+  def scrubBoilerplateLines(lineHashes: Array[Long]): org.apache.spark.sql.Column = {
+    val hashLit = lit(lineHashes)
+    array_join(filter(split(col("text"), "\n"),
+      l => !array_contains(hashLit, xxhash64(l))), "\n")
+  }
+
+  /** Run the streaming boilerplate scrub over a file-source directory of
+    * TimedDoc parquet with an AvailableNow trigger; scrubbed docs land in
+    * `outDir/scrubbed`, checkpointed. */
+  def runScrubBoilerplateStream(spark: SparkSession, inDir: String,
+                                lineHashes: Array[Long], outDir: String): Unit = {
+    val schema = org.apache.spark.sql.Encoders.product[TimedDoc].schema
+    val in = spark.readStream.schema(schema).parquet(inDir)
+    val q: StreamingQuery = in
+      .withColumn("clean_text", scrubBoilerplateLines(lineHashes))
+      .writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", s"$outDir/scrubbed")
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run streaming decontamination over a file-source directory of
     * TimedDoc parquet with an AvailableNow trigger: contaminated docs are
     * dropped at ingest, clean docs land in `outDir/clean`, checkpointed

@@ -71,6 +71,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch.toSeq == got.toSeq, s"batch ${batch.toSeq} vs stream ${got.toSeq}")
   }
 
+  test("streaming boilerplate scrub: plan-literal hash set, batch parity, checkpointed waves") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingOps
+    import StreamingOps.TimedDoc
+    def ts(m: Int) = new java.sql.Timestamp(1767225600000L + m * 60000L)
+    val base = java.nio.file.Files.createTempDirectory("sboiler-spec").toString
+    // the "prior snapshot" a batch job trains the hash set on: both docs
+    // share BOILER (df=2); every other line is unique
+    val snapshot = Seq((1L, "a\nBOILER\nb"), (2L, "BOILER\nc")).toDF("doc_id", "text")
+    val hashes = operators.TrainingOps.boilerplateLineHashes(snapshot).as[Long].collect()
+    assert(hashes.length == 1)
+    // batch parity on the snapshot itself: the literal-set rewrite equals
+    // the full batch operator (same minDocs, same corpus)
+    val viaFilter = snapshot.select(org.apache.spark.sql.functions.col("doc_id"),
+      StreamingOps.scrubBoilerplateLines(hashes).as("clean_text"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    val viaBatch = operators.TrainingOps.removeBoilerplateLines(snapshot)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(viaFilter == viaBatch && viaBatch == Seq((1L, "a\nb"), (2L, "c")),
+      s"filter $viaFilter batch $viaBatch")
+    // two checkpointed streaming waves against the trained set
+    val wave1 = Seq(TimedDoc(10, "x\nBOILER", "w", ts(0)), TimedDoc(11, "BOILER", "w", ts(1)))
+    val wave2 = Seq(TimedDoc(12, "keep\nBOILER\nalso", "w", ts(2)))
+    s.createDataset(wave1).toDF().write.mode("append").parquet(s"$base/in")
+    StreamingOps.runScrubBoilerplateStream(s, s"$base/in", hashes, s"$base/out")
+    s.createDataset(wave2).toDF().write.mode("append").parquet(s"$base/in")
+    StreamingOps.runScrubBoilerplateStream(s, s"$base/in", hashes, s"$base/out")
+    val got = s.read.parquet(s"$base/out/scrubbed")
+      .orderBy("doc_id").select("doc_id", "clean_text").as[(Long, String)].collect().toSeq
+    assert(got == Seq((10L, "x"), (11L, ""), (12L, "keep\nalso")), s"got $got")
+  }
+
   test("streaming dedup event-time TTL: idle keys expire and re-admit; fresh keys still dedup") {
     val s = spark
     import s.implicits._
