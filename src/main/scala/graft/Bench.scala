@@ -347,13 +347,23 @@ object Bench {
     // straddled a throttle window, the clean kernel median is the best
     // available UNCORRUPTED measurement. All estimators are emitted
     // regardless of which one headlines.
+    // An estimator whose raw value is physically impossible (efficiency
+    // > 1.05 — a throttle flip landed asymmetrically inside its window
+    // despite clean brackets; run E measured a kernel clean-pair median
+    // of 1.097 this way) DEMOTES to the next tier instead of headlining
+    // as a clamped 1.0: demotion can only move toward a lower-variance
+    // estimator, never inflate. Demoted tiers are disclosed.
+    val candidates: Seq[(Double, String)] = Seq(
+      (if (jobCleanN >= 2) jobCleanEff else Double.NaN, "job_clean_pairs"),
+      (if (kernelCleanN >= 2) kernelEffRaw else Double.NaN, "kernel_clean_pairs"),
+      (if (jobCleanN == 1) jobCleanEff else Double.NaN, "job_clean_pair_single"),
+      (if (kernelCleanN == 1) kernelEffRaw else Double.NaN, "kernel_clean_pair_single"),
+      (pairedMedianEff, "job_all_pairs_median"),
+      (dps16 / (4.0 * dps4), "levels_min_ratio"))
+    val eligible = candidates.filterNot(_._1.isNaN)
+    val demoted = eligible.takeWhile(_._1 > 1.05).map(_._2)
     val (headlineRaw, headlineSource) =
-      if (jobCleanN >= 2) (jobCleanEff, "job_clean_pairs")
-      else if (kernelCleanN >= 2) (kernelEffRaw, "kernel_clean_pairs")
-      else if (jobCleanN == 1) (jobCleanEff, "job_clean_pair_single")
-      else if (kernelCleanN == 1) (kernelEffRaw, "kernel_clean_pair_single")
-      else if (!pairedMedianEff.isNaN) (pairedMedianEff, "job_all_pairs_median")
-      else (dps16 / (4.0 * dps4), "levels_min_ratio")
+      eligible.find(c => !(c._1 > 1.05)).getOrElse(eligible.head)
     val headlineEff = math.min(1.0, headlineRaw)
     val outOfRange = headlineRaw > 1.0
 
@@ -416,8 +426,6 @@ object Bench {
       "extract_sec_local4" -> sec4,
       "extract_sec_local16" -> sec16,
       "extract_sec_local32" -> sec32,
-      "extract_docs" -> nDocs.toDouble,
-      "extract_docs_small" -> nDocsSmall.toDouble,
       "kernel_media_per_sec_4t" -> k4,
       "kernel_media_per_sec_16t" -> k16)
     val qs = (queryTimes.map { case (k, v) => k -> num2(v) } ++
@@ -425,6 +433,6 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // keep the line well under the ~2.5 KB stdout tail the driver records
     val evidenceName = new java.io.File(evidencePath).getName
-    println(s"""{"metric":"total","value":${num2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec_local32":${num(dps32)},"local32_source":"$local32Source","local32_clean_rounds":${clean32s.size},"scaling_efficiency":${num(headlineEff)},"scaling_efficiency_raw":${num(headlineRaw)},"scaling_headline_source":"$headlineSource","scaling_out_of_range":$outOfRange,"job_clean_pair_count":$jobCleanN,"job_all_pair_median":${num(pairedMedianEff)},"kernel_scaling_efficiency_4_to_16":${num(kernelEff)},"kernel_scaling_efficiency_raw":${num(kernelEffRaw)},"kernel_scaling_source":"$kernelSource","kernel_clean_pair_count":$kernelCleanN,"evidence_file":"$evidenceName"}""")
+    println(s"""{"metric":"total","value":${num2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec_local32":${num(dps32)},"local32_source":"$local32Source","local32_clean_rounds":${clean32s.size},"scaling_efficiency":${num(headlineEff)},"scaling_efficiency_raw":${num(headlineRaw)},"scaling_headline_source":"$headlineSource","scaling_demoted_tiers":${demoted.map("\"" + _ + "\"").mkString("[", ",", "]")},"scaling_out_of_range":$outOfRange,"job_clean_pair_count":$jobCleanN,"job_all_pair_median":${num(pairedMedianEff)},"kernel_scaling_efficiency_4_to_16":${num(kernelEff)},"kernel_scaling_efficiency_raw":${num(kernelEffRaw)},"kernel_scaling_source":"$kernelSource","kernel_clean_pair_count":$kernelCleanN,"evidence_file":"$evidenceName"}""")
   }
 }
