@@ -695,6 +695,31 @@ object SparkEntry {
       // Gopher-style repetition filter inputs
       "q_repetition" -> ((s: SparkSession, d: String) =>
         TrainingOps.repetitionSignals(t(s, d, "documents"))),
+      // duplicate n-gram fraction (exact-substring-dedup proxy): planted
+      // 14-token pair sharing 1 of its 2 13-grams pins a fractional score
+      // (corpus exact-dup texts pin 1.0, unique docs pin 0.0)
+      "q_dup_ngram_fraction" -> ((s: SparkSession, d: String) => {
+        import s.implicits._
+        val planted = Seq(
+          (920001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+          (920002L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu omega"))
+          .toDF("doc_id", "text")
+        TrainingOps.dupNgramFraction(
+          t(s, d, "documents").select(col("doc_id"), col("text")).unionByName(planted))
+      }),
+      // scored contamination analysis: eval set = the 2 lowest-id corpus
+      // docs, so those rows provably score 1.0 and the near-copies score
+      // their overlap fraction
+      "q_contamination_score" -> ((s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        TrainingOps.contaminationScore(docs, docs.orderBy(col("doc_id")).limit(2))
+      }),
+      // deterministic token-count-weighted sampling (integer-exact keep
+      // decision; longer docs are preferentially retained)
+      "q_weighted_sample" -> ((s: SparkSession, d: String) =>
+        TrainingOps.weightedSample(t(s, d, "documents"),
+          size(split(lower(col("text")), "\\s+")).cast("long"), maxWeight = 32)
+          .select(col("doc_id"))),
       // cross-document boilerplate line removal (CCNet-style line-level
       // dedup), non-vacuous via planted multi-line rows sharing a
       // "SUBSCRIBE NOW" line (corpus texts are single-line; corpus-level
@@ -1095,6 +1120,29 @@ object SparkEntry {
            |  MAX(cnt)::DOUBLE / SUM(cnt) AS top_bigram_fraction,
            |  COUNT(*)::DOUBLE / SUM(cnt) AS distinct_bigram_ratio
            |FROM c GROUP BY doc_id""".stripMargin),
+      "q_dup_ngram_fraction" ->
+        ("""WITH docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM (VALUES
+           |  (CAST(920001 AS BIGINT), 'alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi'),
+           |  (CAST(920002 AS BIGINT), 'alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu omega')) v(doc_id, text)),
+           |t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM docs),
+           |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+           |  ELSE list_transform(range(1, len(toks) - 11), i -> array_to_string(list_slice(toks, i, i + 12), ' ')) END)) AS gr FROM t),
+           |d AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY gr) AS df FROM g)
+           |SELECT doc_id, COUNT(*) AS n_grams, COUNT(CASE WHEN df >= 2 THEN 1 END) AS n_dup_grams,
+           |  CAST(COUNT(CASE WHEN df >= 2 THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
+           |FROM d GROUP BY doc_id""".stripMargin),
+      "q_contamination_score" ->
+        ("""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+           |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+           |  ELSE list_transform(range(1, len(toks) - 11), i -> array_to_string(list_slice(toks, i, i + 12), ' ')) END)) AS gr FROM t),
+           |ev AS (SELECT DISTINCT gr FROM g WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 2))
+           |SELECT g.doc_id, COUNT(*) AS n_grams, COUNT(ev.gr) AS n_eval_grams,
+           |  CAST(COUNT(ev.gr) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS contamination
+           |FROM g LEFT JOIN ev ON g.gr = ev.gr GROUP BY g.doc_id""".stripMargin),
+      "q_weighted_sample" ->
+        ("""SELECT doc_id FROM documents
+           |WHERE CAST('0x' || substr(md5(doc_id || ':w42'), 1, 8) AS BIGINT) * 32
+           |  < LEAST(CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT), 32) * 4294967296""".stripMargin),
       "q_packed_text" ->
         ("WITH c AS (SELECT doc_id, source, text, " +
           "CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS nt FROM documents), " +

@@ -1120,4 +1120,74 @@ object TrainingOps {
     docs.select(col("doc_id"), col("source"), nTokens.as("n_tokens"))
       .withColumn("chunk_id", floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget))
   }
+
+  /** Duplicate n-gram fraction (the gram-granular proxy for exact-substring
+    * dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better"): per document, the fraction of its DISTINCT word
+    * n-grams that also occur in at least one OTHER document. Exact dups
+    * score 1.0; partially-copied documents score the copied share —
+    * the ranking signal for substring-level dedup decisions.
+    *
+    * Scale shape: one corpus scan; gram document-frequency is a window
+    * COUNT over the 8-byte xxhash64 gram key INSIDE the per-doc
+    * aggregation's pipeline (the r4 exchange-reuse lesson: a separate
+    * df-table + join would re-scan the corpus), so the plan is scan →
+    * exchange(gh) → WindowExec → exchange(doc_id) → agg. Gram text never
+    * shuffles. A universal gram's window partition spills in WindowExec
+    * (bounded, same argument as LSH mega-buckets). Exact modulo xxhash64
+    * gram collisions (the oracle compares gram strings). */
+  def dupNgramFraction(docs: DataFrame, n: Int = 13): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), n))).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
+    grams.withColumn("df", count(lit(1)).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") >= 2, lit(1))).as("n_dup_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        (col("n_dup_grams").cast("double") / col("n_grams").cast("double")).as("dup_fraction"))
+  }
+
+  /** Per-document contamination SCORE against an eval set — the scored
+    * generalization of [[decontaminate]] (the GPT-3/PaLM-appendix-style
+    * overlap analysis): for each corpus document, the fraction of its
+    * distinct word n-grams that appear in the eval set's gram set.
+    * A boolean drop threshold loses the near-miss distribution; the
+    * score lets a pipeline pick the cutoff after looking at it.
+    *
+    * Scale shape: eval grams are tiny by definition → broadcast LEFT join
+    * onto the exploded corpus grams (hit indicator), then one partial-
+    * aggregated per-doc count. One corpus scan, no shuffle of gram text
+    * except the doc_id aggregation of two counters. */
+  def contaminationScore(docs: DataFrame, evalDocs: DataFrame, n: Int = 13): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(shingles(col("text"), n))).as("g")).distinct()
+      .withColumn("hit", lit(1))
+    docs.select(col("doc_id"), explode(array_distinct(shingles(col("text"), n))).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_eval_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_eval_grams"),
+        (col("n_eval_grams").cast("double") / col("n_grams").cast("double")).as("contamination"))
+  }
+
+  /** Deterministic WEIGHTED sampling: keep a row with probability
+    * min(weight, maxWeight)/maxWeight, decided by exact integer
+    * arithmetic over the row's content-addressed uniform draw
+    * (u32 · maxWeight < weight · 2^32, all in 64-bit integers — no
+    * float, no libm, so the decision is bitwise-reproducible across
+    * engines, runs and repartitionings, like [[deterministicSample]]).
+    * The training-mix use: weight by token count or quality score so
+    * long/high-quality documents are preferentially retained while the
+    * sample stays rerun-stable. `maxWeight` must be < 2^31 (overflow
+    * bound on the comparison product). Pure codegen — one MD5 and two
+    * multiplies per row, no shuffle. */
+  def weightedSample(docs: DataFrame, weight: Column, maxWeight: Long,
+                     salt: String = "w42"): DataFrame = {
+    require(maxWeight > 0 && maxWeight < Int.MaxValue, "maxWeight must be in (0, 2^31)")
+    val u32 = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":" + salt))
+      .cast("binary")), 1, 8), 16, 10).cast("long")
+    docs.where(u32 * lit(maxWeight) < least(weight.cast("long"), lit(maxWeight)) * lit(4294967296L))
+  }
 }

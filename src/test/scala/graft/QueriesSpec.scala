@@ -361,6 +361,46 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 4L, 2L, 0.5, 0.5), (2L, 3L, 1L, 1.0 / 3, 1.0)), s"got $got")
   }
 
+  test("dup n-gram fraction: shared, exact-dup and unique grams score correctly") {
+    val sp = spark; import sp.implicits._
+    // bigrams: docs 1,2 share "a b" (1 of 2); docs 3,4 are exact dups (2 of 2)
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z"), (4L, "x y z"),
+      (5L, "p q r")).toDF("doc_id", "text")
+    val got = operators.TrainingOps.dupNgramFraction(docs, n = 2)
+      .select("doc_id", "n_grams", "n_dup_grams", "dup_fraction")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5),
+      (3L, 2L, 2L, 1.0), (4L, 2L, 2L, 1.0), (5L, 2L, 0L, 0.0)), s"got $got")
+  }
+
+  test("contamination score: overlap fraction against the eval gram set") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z")).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "a b c")).toDF("doc_id", "text")
+    val got = operators.TrainingOps.contaminationScore(docs, eval_, n = 2)
+      .select("doc_id", "n_grams", "n_eval_grams", "contamination")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0)), s"got $got")
+  }
+
+  test("weighted sample: boundary weights, monotonicity, repartition stability") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.lit
+    val docs = (1L to 1000L).map(i => (i, "t")).toDF("doc_id", "text")
+    def kept(w: Long): Set[Long] = operators.TrainingOps
+      .weightedSample(docs, lit(w), maxWeight = 32)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept(32L).size == 1000, "weight = maxWeight must keep every row")
+    assert(kept(0L).isEmpty, "weight 0 must keep nothing")
+    val half = kept(16L)
+    assert(half.size > 400 && half.size < 600, s"~half expected, got ${half.size}")
+    assert(half.subsetOf(kept(24L)), "keep decision must be monotone in weight")
+    val reshuffled = operators.TrainingOps
+      .weightedSample(docs.repartition(7), lit(16L), maxWeight = 32)
+      .select("doc_id").as[Long].collect().toSet
+    assert(reshuffled == half, "content-addressed: stable under repartitioning")
+  }
+
   test("packChunks concatenates chunk texts in doc_id order with bounded buffers") {
     val sp = spark; import sp.implicits._
     // 3 tokens/doc, budget 5: s1 chunk0 = docs 1,2; chunk1 = doc 3
