@@ -695,6 +695,16 @@ object SparkEntry {
       // Gopher-style repetition filter inputs
       "q_repetition" -> ((s: SparkSession, d: String) =>
         TrainingOps.repetitionSignals(t(s, d, "documents"))),
+      // cross-snapshot NEAR dedup: prior snapshot = doc_id < 250, incoming
+      // batch = doc_id >= 250; incoming near-copies of prior docs drop
+      // (corpus near-dup pairs straddle the cutoff, so non-vacuous)
+      "q_dedup_near_vs_prior" -> ((s: SparkSession, d: String) => {
+        val all = t(s, d, "documents")
+        TrainingOps.dedupNearVsPrior(
+          all.where(col("doc_id") >= 250), all.where(col("doc_id") < 250),
+          threshold = 0.5)
+          .select(col("doc_id"))
+      }),
       // duplicate n-gram fraction (exact-substring-dedup proxy): planted
       // 14-token pair sharing 1 of its 2 13-grams pins a fractional score
       // (corpus exact-dup texts pin 1.0, unique docs pin 0.0)
@@ -1120,6 +1130,13 @@ object SparkEntry {
            |  MAX(cnt)::DOUBLE / SUM(cnt) AS top_bigram_fraction,
            |  COUNT(*)::DOUBLE / SUM(cnt) AS distinct_bigram_ratio
            |FROM c GROUP BY doc_id""".stripMargin),
+      // true-jaccard ground truth: an incoming doc survives iff no prior-
+      // side doc reaches the threshold (est==true on this corpus; same
+      // separation argument as q_minhash_lsh_pairs)
+      "q_dedup_near_vs_prior" ->
+        (shingleCte + s"""SELECT doc_id FROM documents WHERE doc_id >= 250 AND doc_id NOT IN (
+           |  SELECT a.doc_id FROM s a JOIN s b ON a.doc_id >= 250 AND b.doc_id < 250
+           |  WHERE $jaccardExpr >= 0.5)""".stripMargin),
       "q_dup_ngram_fraction" ->
         ("""WITH docs AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM (VALUES
            |  (CAST(920001 AS BIGINT), 'alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi'),

@@ -1121,6 +1121,45 @@ object TrainingOps {
       .withColumn("chunk_id", floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget))
   }
 
+  /** Cross-snapshot NEAR dedup: drop every incoming document whose
+    * minhash-estimated jaccard against ANY document of a prior corpus
+    * snapshot reaches `threshold` — the fuzzy counterpart of the exact
+    * dedup-vs-prior anti-join, i.e. the incremental-ingest step that
+    * keeps re-crawled boilerplate-edited pages out of the training mix.
+    * The two snapshots are distinct inputs by contract (an id-equality
+    * guard would mask real cross-snapshot dups of identical content).
+    *
+    * Scale shape: one signature pass per snapshot (both sides are
+    * corpus-sized at 100 TB — nothing broadcasts), then ONE shuffle each
+    * on the 16-byte (band, bucket) key; candidate pairs exist only
+    * within shared LSH buckets, so the O(n·m) cross never appears. The
+    * prior side caps mega-buckets (window COUNT in its own exchange,
+    * same spill-then-filter shape as [[minhashLshPairsFromSig]]); the
+    * drop set is a distinct 8-byte doc_id frame anti-joined back. */
+  def dedupNearVsPrior(docs: DataFrame, prior: DataFrame, threshold: Double = 0.9,
+                       numHashes: Int = 16, bands: Int = 4, shingleK: Int = 3,
+                       maxBucket: Int = 64): DataFrame = {
+    val rows = numHashes / bands
+    def banded(sig: DataFrame, sigName: String): DataFrame = sig
+      .select(col("doc_id"), col("minhash"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("minhash").as(sigName), col("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(col("minhash"), col("band") * rows + 1, lit(rows)),
+            x => x.cast("string"))), col("band")).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
+    val priorSide = banded(minhash(prior, numHashes, shingleK), "sig_b")
+      .withColumn("bn", count(lit(1)).over(w))
+      .where(col("bn") <= maxBucket)
+      .select(col("sig_b"), col("band"), col("bucket"))
+    val newSide = banded(minhash(docs, numHashes, shingleK), "sig_a")
+    val minMatches = math.ceil(threshold * numHashes).toInt
+    val dup = newSide.join(priorSide, Seq("band", "bucket"))
+      .where(expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+        >= lit(minMatches))
+      .select(col("doc_id")).distinct()
+    docs.join(dup, Seq("doc_id"), "left_anti")
+  }
+
   /** Duplicate n-gram fraction (the gram-granular proxy for exact-substring
     * dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language
     * Models Better"): per document, the fraction of its DISTINCT word

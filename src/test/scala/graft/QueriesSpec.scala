@@ -361,6 +361,21 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 4L, 2L, 0.5, 0.5), (2L, 3L, 1L, 1.0 / 3, 1.0)), s"got $got")
   }
 
+  test("near dedup vs prior snapshot drops incoming near-copies only") {
+    val sp = spark; import sp.implicits._
+    val longText = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val prior = Seq((1L, longText), (2L, "completely different prior words here"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, longText),                                   // exact copy of prior 1
+      (11L, longText.replace("tok15", "edited")),        // near copy of prior 1
+      (12L, (1 to 30).map(i => s"new$i").mkString(" "))) // fresh content
+      .toDF("doc_id", "text")
+    val kept = operators.TrainingOps.dedupNearVsPrior(incoming, prior, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L), s"kept $kept")
+  }
+
   test("dup n-gram fraction: shared, exact-dup and unique grams score correctly") {
     val sp = spark; import sp.implicits._
     // bigrams: docs 1,2 share "a b" (1 of 2); docs 3,4 are exact dups (2 of 2)
