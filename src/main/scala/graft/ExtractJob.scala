@@ -14,8 +14,11 @@ object Model {
   /** Output span: kind ∈ {text, pdf_text, error}; order 0-based contiguous. */
   case class OutSpan(doc_id: String, order: Int, kind: String, text: String, media_ref: String)
 
-  /** Per-media extraction result (tagged with the executing partition). */
-  case class Extracted(media_ref: String, ok: Boolean, text: String, error: String,
+  /** Per-media extraction result (tagged with the executing partition).
+    * `kind` is the content-sniffed payload family ("pdf" | "html") — it
+    * names the kernel that ran and becomes the `<kind>_text` output span
+    * kind. */
+  case class Extracted(media_ref: String, kind: String, ok: Boolean, text: String, error: String,
                        bytes_in: Long, wall_us: Long, partition_id: Int)
 }
 
@@ -42,6 +45,15 @@ object Model {
 object ExtractJob {
   import Model._
 
+  /** Content-sniffed single-blob extraction: HTML markup routes to the
+    * main-content kernel (`graft.html.Html`), everything else to the PDF
+    * kernel (whose recovery path also owns damaged/garbage payloads, so
+    * non-PDF junk keeps its established error contract). Returns
+    * (kind, text). */
+  def extract1(bytes: Array[Byte]): (String, String) =
+    if (graft.html.Html.looksHtml(bytes)) ("html", graft.html.Html.html2txt(bytes))
+    else ("pdf", graft.pdf.Pdf.pdf2txt(bytes))
+
   /** The extraction kernel as a per-partition typed pass. */
   private def runKernel(work: Dataset[(String, Array[Byte])]): Dataset[Extracted] = {
     import work.sparkSession.implicits._
@@ -50,12 +62,12 @@ object ExtractJob {
       it.map { case (ref, bytes) =>
         val t0 = System.nanoTime()
         try {
-          val text = graft.pdf.Pdf.pdf2txt(bytes)
-          Extracted(ref, ok = true, text, "", bytes.length.toLong, (System.nanoTime() - t0) / 1000, pid)
+          val (kind, text) = extract1(bytes)
+          Extracted(ref, kind, ok = true, text, "", bytes.length.toLong, (System.nanoTime() - t0) / 1000, pid)
         } catch {
           case e: Throwable =>
             val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
-            Extracted(ref, ok = false, "", msg.take(200), bytes.length.toLong, (System.nanoTime() - t0) / 1000, pid)
+            Extracted(ref, "pdf", ok = false, "", msg.take(200), bytes.length.toLong, (System.nanoTime() - t0) / 1000, pid)
         }
       }
     }
@@ -103,10 +115,11 @@ object ExtractJob {
       .select(col("doc_id"), col("order"),
         col("span.kind").as("in_kind"), col("span.text").as("in_text"), col("span.media_ref").as("media_ref"))
     val pdfSpans = exploded.where(col("in_kind") =!= "text")
-      .join(extracted.select(col("media_ref"), col("ok"), col("text").as("x_text")), Seq("media_ref"), "left")
+      .join(extracted.select(col("media_ref"), col("ok"), col("kind").as("x_kind"),
+        col("text").as("x_text")), Seq("media_ref"), "left")
       .select(
         col("doc_id"), col("order"),
-        when(col("ok") === true, lit("pdf_text")).otherwise(lit("error")).as("kind"),
+        when(col("ok") === true, concat(col("x_kind"), lit("_text"))).otherwise(lit("error")).as("kind"),
         when(col("ok") === true, col("x_text")).otherwise(lit("")).as("text"),
         col("media_ref"))
     val textSpans = exploded.where(col("in_kind") === "text")
@@ -144,7 +157,7 @@ object ExtractJob {
     } else docs0
 
     val exploded = docs.select(col("doc_id"), explode(col("spans")).as("span"))
-    val neededRefs = exploded.filter(col("span.kind") === "pdf")
+    val neededRefs = exploded.filter(col("span.kind") =!= "text")
       .select(col("span.media_ref").as("media_ref")).distinct()
 
     val extracted = extractMedia(media, neededRefs, parts)

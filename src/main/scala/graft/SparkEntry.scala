@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{TrainingOps, MediaOps}
-import graft.testkit.{PdfBuilder, Corpus}
+import graft.testkit.{PdfBuilder, HtmlBuilder, Corpus}
 
 /** Driver contract: one `queries` entry per implemented operator family
   * (SURVEY.md §2 + the training-data ops), each with a DuckDB oracle where
@@ -34,7 +34,22 @@ object SparkEntry {
     "x_pdf_errors" -> fx("f16_garbage", "f01_minimal_flate"),
     "x_pdf_fonts2" -> fx("f17_macroman", "f18_type3", "f22_truetype", "f25_fontfile1", "f26_cjk_gbk"),
     "x_pdf_structure2" -> fx("f19_prev_chain", "f20_quote_ops", "f21_contents_array",
-      "f23_lzw_tiff", "f24_inline_image"))
+      "f23_lzw_tiff", "f24_inline_image"),
+    // HTML main-content leg (north rule "HTML boilerplate strip ... DOM
+    // heuristics"): same pipeline, content-sniffed dispatch in the kernel
+    "x_html_main" -> hx("h01_article", "h02_density", "h05_images"),
+    "x_html_markup" -> hx("h03_markup", "h04_structure"))
+
+  private def hx(names: String*): Seq[PdfBuilder.Fixture] = {
+    val all = HtmlBuilder.all.map(f => f.name -> f).toMap
+    names.map(all)
+  }
+
+  /** Input-span kind / expected output-span kind per fixture family. */
+  private def inKind(f: PdfBuilder.Fixture): String =
+    if (f.name.startsWith("h")) "html" else "pdf"
+  private def outKind(f: PdfBuilder.Fixture): String =
+    if (f.name == "f16_garbage") "error" else inKind(f) + "_text"
 
   private def sizeBucket(n: Int): Int = 32 - Integer.numberOfLeadingZeros(math.max(1, n - 1))
 
@@ -43,7 +58,7 @@ object SparkEntry {
     implicit val s: SparkSession = spark
     import s.implicits._
     val docs = s.createDataset(fixtures.map(f =>
-      Model.DocRow(f.name, Seq(Model.InSpan("pdf", "", f.name, 0))))).toDF()
+      Model.DocRow(f.name, Seq(Model.InSpan(inKind(f), "", f.name, 0))))).toDF()
     val media = s.createDataset(fixtures.map(f =>
       Model.MediaRow(f.name, f.bytes, sizeBucket(f.bytes.length)))).toDF()
     val refs = docs.select(explode(col("spans.media_ref")).as("media_ref")).distinct()
@@ -426,8 +441,8 @@ object SparkEntry {
   /** Exact VALUES oracle from the by-construction expected text. */
   private def extractionOracle(fixtures: Seq[PdfBuilder.Fixture]): String = {
     val rows = fixtures.map { f =>
-      val (kind, text) =
-        if (f.name == "f16_garbage") ("error", "") else ("pdf_text", f.expected)
+      val kind = outKind(f)
+      val text = if (kind == "error") "" else f.expected
       s"(${sqlStr(f.name)}, 0, ${sqlStr(kind)}, ${sqlStr(text)}, ${sqlStr(f.name)})"
     }
     s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(doc_id, ord, kind, text, media_ref)"
@@ -950,6 +965,36 @@ object SparkEntry {
             col("media_total").cast("int").as("ord"), lit("metrics").as("kind"),
             lit("").as("text"), lit("").as("media_ref"))
         spans.unionByName(metrics)
+      }),
+      // one interleaved document with text + pdf + html + garbage spans:
+      // proves the kernel's per-payload content dispatch and span ordering
+      "x_html_mixed" -> ((s: SparkSession, _: String) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val f01 = fx("f01_minimal_flate").head
+        val h01 = hx("h01_article").head
+        val g = PdfBuilder.f16Garbage
+        val docs = sp.createDataset(Seq(Model.DocRow("mix01", Seq(
+          Model.InSpan("text", "intro", "", 0),
+          Model.InSpan("pdf", "", f01.name, 1),
+          Model.InSpan("html", "", h01.name, 2),
+          Model.InSpan("pdf", "", g.name, 3),
+          Model.InSpan("text", "outro", "", 4))))).toDF()
+        val media = sp.createDataset(Seq(f01, h01, g).map(f =>
+          Model.MediaRow(f.name, f.bytes, sizeBucket(f.bytes.length)))).toDF()
+        val refs = docs.select(explode(col("spans.media_ref")).as("media_ref"))
+          .where(col("media_ref") =!= "").distinct()
+        ExtractJob.assembleSpans(docs, ExtractJob.extractMedia(media, refs, 4).toDF())
+          .select(col("doc_id"), col("order").as("ord"), col("kind"), col("text"), col("media_ref"))
+      }),
+      // in-content image references from the HTML kernel (media spans a
+      // downstream multimodal stage would fetch), drop contexts excluded
+      "x_html_images" -> ((s: SparkSession, _: String) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val fs = hx("h01_article", "h05_images")
+        sp.createDataset(fs.map(f => (f.name, f.bytes))).toDF("media_ref", "bytes")
+          .select(col("media_ref"), posexplode(graft.functions.PdfFunctions.htmlImageRefs(col("bytes"))).as(Seq("pos", "img_src")))
       }))
 
     (extraction ++ relational ++ training).toMap
@@ -1226,7 +1271,30 @@ object SparkEntry {
           "(11, 'keep a' || chr(10) || 'keep b'), (12, ''), (13, 'clean only'), " +
           "(14, 'also keep')) AS t(doc_id, clean_text)"),
       "q_media_gif_frames" -> mediaGifFramesOracle,
-      "x_resume" -> resumeOracle)
+      "x_resume" -> resumeOracle,
+      "x_html_mixed" -> htmlMixedOracle,
+      "x_html_images" -> htmlImagesOracle)
     (extraction ++ sql).toMap
+  }
+
+  /** By-construction oracle for the mixed interleaved document. */
+  private def htmlMixedOracle: String = {
+    val f01 = fx("f01_minimal_flate").head
+    val h01 = hx("h01_article").head
+    val rows = Seq(
+      "('mix01', 0, 'text', 'intro', '')",
+      s"('mix01', 1, 'pdf_text', ${sqlStr(f01.expected)}, ${sqlStr(f01.name)})",
+      s"('mix01', 2, 'html_text', ${sqlStr(h01.expected)}, ${sqlStr(h01.name)})",
+      "('mix01', 3, 'error', '', 'f16_garbage')",
+      "('mix01', 4, 'text', 'outro', '')")
+    s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(doc_id, ord, kind, text, media_ref)"
+  }
+
+  /** h01 has no in-content images; h05 keeps only the non-drop-context one. */
+  private def htmlImagesOracle: String = {
+    val rows = HtmlBuilder.h05ExpectedImages.zipWithIndex.map { case (src, i) =>
+      s"('h05_images', $i, ${sqlStr(src)})"
+    }
+    s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(media_ref, pos, img_src)"
   }
 }

@@ -23,9 +23,21 @@ object PdfFunctions {
   private val pdf2pagesF = (bytes: Array[Byte]) =>
     if (bytes == null) null else graft.pdf.Pdf.pdf2pages(bytes)
 
+  private val html2txtF = (bytes: Array[Byte]) =>
+    if (bytes == null) null else graft.html.Html.html2txt(bytes)
+
+  private val htmlImageRefsF = (bytes: Array[Byte]) =>
+    if (bytes == null) null else graft.html.Html.imageRefs(bytes)
+
+  /** Column form of the HTML image-ref extractor (typed pipelines). */
+  def htmlImageRefs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udf(htmlImageRefsF).apply(c)
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("pdf2txt", udf(pdf2txtF))
     spark.udf.register("pdf2txt_safe", udf(pdf2txtSafeF))
     spark.udf.register("pdf2pages", udf(pdf2pagesF))
+    spark.udf.register("html2txt", udf(html2txtF))
+    spark.udf.register("html_image_refs", udf(htmlImageRefsF))
   }
 }

@@ -1,0 +1,344 @@
+package graft.html
+
+import scala.collection.mutable.ArrayBuffer
+
+/** HTML main-content extraction — the north rule's "HTML boilerplate strip
+  * ... DOM heuristics" leg of the interleaved-document pipeline (the
+  * reference engine is PDF-only; this path has no reference counterpart and
+  * follows the published density heuristics of Boilerpipe [Kohlschütter et
+  * al., WSDM 2011] and CCNet's structural filters).
+  *
+  * Design mirrors the PDF kernel: a single forward pass over the document
+  * (no DOM materialization — an open-element stack plus per-block counters
+  * is all the state), deterministic output, and a pure, separately-testable
+  * classifier. Runs per-row inside `ExtractJob`'s `mapPartitions` kernel, so
+  * everything here is allocation-conscious and thread-safe (no shared
+  * mutable state).
+  *
+  * Two stages:
+  *   1. `parse(html)` — tokenize (tags / entities / raw-text elements) and
+  *      segment text into block-level units, each carrying the counters the
+  *      classifier needs (words, chars, anchor chars, heading flag, drop
+  *      context).
+  *   2. `keep(block)` — a pure link-density + length classifier; kept blocks
+  *      in document order are the main content.
+  */
+object Html {
+
+  /** One block-level text unit with its classification counters.
+    *
+    * @param anchorChars characters that appeared inside an `<a>` element —
+    *                    `anchorChars / chars` is Boilerpipe's link density
+    * @param heading     text lay inside `h1`–`h6`
+    * @param dropContext text lay inside structural boilerplate (`nav`,
+    *                    `header`, `footer`, `aside`, `form`, `head`, …)
+    */
+  final case class Block(text: String, words: Int, chars: Int, anchorChars: Int,
+                         heading: Boolean, dropContext: Boolean)
+
+  // -------------------------------------------------------------------
+  // tag classes (HTML5 content categories, trimmed to what segmentation
+  // and boilerplate stripping need)
+  // -------------------------------------------------------------------
+
+  /** Opening OR closing one of these flushes the current block. */
+  private val blockTags: Set[String] = Set(
+    "p", "div", "section", "article", "main", "aside", "header", "footer",
+    "nav", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li", "table",
+    "thead", "tbody", "tfoot", "tr", "td", "th", "blockquote", "pre", "br",
+    "hr", "form", "fieldset", "figure", "figcaption", "dl", "dt", "dd",
+    "address", "center", "title", "head", "body", "html")
+
+  /** Structural boilerplate: every block opened while one of these is on
+    * the stack is dropped outright (DOM heuristic — position in the tree,
+    * before any density test). */
+  private val dropTags: Set[String] = Set(
+    "head", "title", "nav", "header", "footer", "aside", "form", "button",
+    "select", "option", "label", "iframe", "object", "svg", "canvas",
+    "figure", "noscript")
+
+  /** Void elements — never pushed on the stack (no close tag exists). */
+  private val voidTags: Set[String] = Set(
+    "br", "hr", "img", "meta", "link", "input", "area", "base", "col",
+    "embed", "source", "track", "wbr")
+
+  /** Raw-text elements: content is skipped verbatim to the matching close
+    * tag (scripts and styles are never content; textarea is form state). */
+  private val rawTextTags: Set[String] = Set("script", "style", "textarea")
+
+  private val headingTags: Set[String] = Set("h1", "h2", "h3", "h4", "h5", "h6")
+
+  /** Named character references we decode (the pervasive subset; unknown
+    * names pass through literally, like browsers render `&bogus;`). */
+  private val entities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "shy" -> "", "copy" -> "©", "reg" -> "®",
+    "trade" -> "™", "hellip" -> "…", "mdash" -> "—",
+    "ndash" -> "–", "lsquo" -> "‘", "rsquo" -> "’",
+    "ldquo" -> "“", "rdquo" -> "”", "middot" -> "·",
+    "bull" -> "•", "deg" -> "°", "sect" -> "§",
+    "para" -> "¶", "laquo" -> "«", "raquo" -> "»",
+    "times" -> "×", "divide" -> "÷", "eacute" -> "é",
+    "egrave" -> "è", "agrave" -> "à", "uuml" -> "ü",
+    "ouml" -> "ö", "auml" -> "ä", "szlig" -> "ß",
+    "ccedil" -> "ç", "ntilde" -> "ñ")
+
+  // -------------------------------------------------------------------
+  // sniffing (content dispatch for the interleaved kernel)
+  // -------------------------------------------------------------------
+
+  /** Cheap content sniff for the interleaved kernel's dispatch. PDF magic
+    * anywhere in the first 1 KiB wins (damaged PDFs may lead with garbage
+    * before `%PDF-`, and the PDF kernel's recovery path handles them);
+    * otherwise markup is recognized by a leading `<` after BOM/whitespace. */
+  def looksHtml(bytes: Array[Byte]): Boolean = {
+    val n = math.min(bytes.length, 1024)
+    var i = 0
+    while (i + 4 < n) { // %PDF- scan
+      if (bytes(i) == '%' && bytes(i + 1) == 'P' && bytes(i + 2) == 'D' &&
+          bytes(i + 3) == 'F' && bytes(i + 4) == '-') return false
+      i += 1
+    }
+    i = 0
+    if (n >= 3 && (bytes(0) & 0xff) == 0xef && (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf)
+      i = 3 // UTF-8 BOM
+    while (i < n && (bytes(i) == ' ' || bytes(i) == '\t' || bytes(i) == '\n' || bytes(i) == '\r')) i += 1
+    if (i >= n || bytes(i) != '<') return false
+    val c = if (i + 1 < n) bytes(i + 1).toChar else ' '
+    c == '!' || c == '?' || c.isLetter || c == '/'
+  }
+
+  // -------------------------------------------------------------------
+  // stage 1: tokenize + segment
+  // -------------------------------------------------------------------
+
+  /** HTML whitespace plus NBSP (decoded entities normalize into plain
+    * spaces — extracted text should not carry layout glue). */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == ' '
+
+  /** Parse result: blocks in document order plus in-content image refs
+    * (src of `<img>` outside any drop context, appearance order). */
+  final case class Parsed(blocks: Vector[Block], imageRefs: Vector[String])
+
+  def parse(html: String): Parsed = {
+    val lower = html.toLowerCase // one pass; raw-text close-tag scans use it
+    val out = Vector.newBuilder[Block]
+    val images = Vector.newBuilder[String]
+    val stack = ArrayBuffer.empty[String]
+    val buf = new java.lang.StringBuilder(256)
+    var words = 0; var chars = 0; var anchorChars = 0
+    var anchorDepth = 0; var dropDepth = 0; var headingDepth = 0
+    var lastWasSpace = true // swallow leading whitespace
+
+    def flush(): Unit = {
+      var len = buf.length() // trim the single trailing space the collapser may leave
+      if (len > 0 && buf.charAt(len - 1) == ' ') { buf.setLength(len - 1); len -= 1 }
+      if (len > 0)
+        out += Block(buf.toString, words, chars, anchorChars,
+          heading = headingDepth > 0, dropContext = dropDepth > 0)
+      buf.setLength(0); words = 0; chars = 0; anchorChars = 0; lastWasSpace = true
+    }
+
+    def appendText(s: String): Unit = {
+      var j = 0
+      while (j < s.length) {
+        val c = s.charAt(j)
+        if (isWs(c)) {
+          if (!lastWasSpace) { buf.append(' '); chars += 1; if (anchorDepth > 0) anchorChars += 1 }
+          lastWasSpace = true
+        } else {
+          if (lastWasSpace) words += 1 // a non-space after a gap starts a word
+          buf.append(c); chars += 1; if (anchorDepth > 0) anchorChars += 1
+          lastWasSpace = false
+        }
+        j += 1
+      }
+    }
+
+    def openEffects(tag: String): Unit = {
+      if (tag == "a") anchorDepth += 1
+      if (dropTags.contains(tag)) dropDepth += 1
+      if (headingTags.contains(tag)) headingDepth += 1
+    }
+    def closeEffects(tag: String): Unit = {
+      if (tag == "a" && anchorDepth > 0) anchorDepth -= 1
+      if (dropTags.contains(tag) && dropDepth > 0) dropDepth -= 1
+      if (headingTags.contains(tag) && headingDepth > 0) headingDepth -= 1
+    }
+
+    /** Pop to (and including) the nearest `tag` on the stack; no-op when
+      * absent (stray close tags are ignored, as in the HTML5 algorithm). */
+    def popTo(tag: String): Unit = {
+      val idx = stack.lastIndexOf(tag)
+      if (idx >= 0) {
+        var k = stack.length - 1
+        while (k >= idx) { closeEffects(stack(k)); stack.remove(k); k -= 1 }
+      }
+    }
+
+    /** Implied end tags: `p` closes on any block-level open; `li`, `td`,
+      * `th`, `tr`, `dt`, `dd` close their own kind. */
+    def autoClose(opening: String): Unit = {
+      if (blockTags.contains(opening) && opening != "p" && stack.nonEmpty && stack.last == "p") popTo("p")
+      opening match {
+        case "p" => popTo("p")
+        case "li" => if (stack.nonEmpty && stack.last == "li") popTo("li")
+        case "td" | "th" => if (stack.nonEmpty && (stack.last == "td" || stack.last == "th")) popTo(stack.last)
+        case "tr" =>
+          while (stack.nonEmpty && (stack.last == "td" || stack.last == "th" || stack.last == "tr")) popTo(stack.last)
+        case "dt" | "dd" => if (stack.nonEmpty && (stack.last == "dt" || stack.last == "dd")) popTo(stack.last)
+        case _ => ()
+      }
+    }
+
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) { // comment
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          val end = html.indexOf('>', i) // doctype / processing instruction
+          i = if (end < 0) n else end + 1
+        } else if (i + 1 < n && html.charAt(i + 1) == '/') { // close tag
+          var j = i + 2
+          while (j < n && html.charAt(j) != '>') j += 1
+          val tag = html.substring(i + 2, j).trim.toLowerCase
+          if (tag.nonEmpty && tag.forall(_.isLetterOrDigit)) {
+            if (blockTags.contains(tag)) flush()
+            popTo(tag)
+          }
+          i = if (j < n) j + 1 else n
+        } else if (i + 1 < n && html.charAt(i + 1).isLetter) { // open tag
+          var j = i + 1
+          while (j < n && html.charAt(j).isLetterOrDigit) j += 1
+          val tag = lower.substring(i + 1, j)
+          // attribute scan (quote-aware: '>' inside a quoted value is data)
+          var selfClose = false
+          var srcAttr = ""
+          var done = false
+          while (!done && j < n) {
+            val ac = html.charAt(j)
+            if (ac == '>') { done = true }
+            else if (ac == '/' && j + 1 < n && html.charAt(j + 1) == '>') { selfClose = true; j += 1; done = true }
+            else if (isWs(ac)) j += 1
+            else {
+              val ns = j // attribute name
+              while (j < n && !isWs(html.charAt(j)) && html.charAt(j) != '=' &&
+                     html.charAt(j) != '>' && html.charAt(j) != '/') j += 1
+              if (j == ns) { j += 1 } // stray '/' not closing the tag — must advance
+              val aname = lower.substring(ns, j)
+              while (j < n && isWs(html.charAt(j))) j += 1
+              var avalue = ""
+              if (j < n && html.charAt(j) == '=') {
+                j += 1
+                while (j < n && isWs(html.charAt(j))) j += 1
+                if (j < n && (html.charAt(j) == '"' || html.charAt(j) == '\'')) {
+                  val q = html.charAt(j)
+                  val endQ = html.indexOf(q, j + 1)
+                  avalue = html.substring(j + 1, if (endQ < 0) n else endQ)
+                  j = if (endQ < 0) n else endQ + 1
+                } else {
+                  val vs = j
+                  while (j < n && !isWs(html.charAt(j)) && html.charAt(j) != '>') j += 1
+                  avalue = html.substring(vs, j)
+                }
+              }
+              if (aname == "src") srcAttr = avalue
+            }
+          }
+          i = if (j < n && !done) n else if (done) j + 1 else n
+          if (rawTextTags.contains(tag) && !selfClose) {
+            val close = lower.indexOf("</" + tag, i) // raw text: verbatim skip
+            if (close < 0) i = n
+            else {
+              val gt = html.indexOf('>', close)
+              i = if (gt < 0) n else gt + 1
+            }
+          } else {
+            if (blockTags.contains(tag)) flush()
+            if (tag == "img" && dropDepth == 0 && srcAttr.nonEmpty) images += srcAttr
+            if (!voidTags.contains(tag)) {
+              autoClose(tag)
+              openEffects(tag)
+              if (!selfClose) stack += tag else closeEffects(tag)
+            }
+          }
+        } else { // stray '<' — literal text
+          appendText("<"); i += 1
+        }
+      } else if (c == '&') { // character reference
+        var j = i + 1
+        if (j < n && html.charAt(j) == '#') {
+          j += 1
+          val hex = j < n && (html.charAt(j) == 'x' || html.charAt(j) == 'X')
+          if (hex) j += 1
+          val start = j
+          while (j < n && Character.digit(html.charAt(j), if (hex) 16 else 10) >= 0) j += 1
+          if (j > start && j - start <= 7 && j < n && html.charAt(j) == ';') {
+            val cp = Integer.parseInt(html.substring(start, j), if (hex) 16 else 10)
+            if (Character.isValidCodePoint(cp)) appendText(new String(Character.toChars(cp)))
+            i = j + 1
+          } else { appendText("&"); i += 1 }
+        } else {
+          val start = j
+          while (j < n && html.charAt(j).isLetterOrDigit && j - start < 10) j += 1
+          val name = html.substring(start, j)
+          if (j < n && html.charAt(j) == ';' && entities.contains(name)) {
+            appendText(entities(name)); i = j + 1
+          } else { appendText("&"); i += 1 }
+        }
+      } else {
+        var j = i // plain text run up to the next markup character
+        while (j < n && html.charAt(j) != '<' && html.charAt(j) != '&') j += 1
+        appendText(html.substring(i, j))
+        i = j
+      }
+    }
+    flush()
+    Parsed(out.result(), images.result())
+  }
+
+  def blocks(html: String): Vector[Block] = parse(html).blocks
+
+  // -------------------------------------------------------------------
+  // stage 2: classify (pure — separately unit-tested)
+  // -------------------------------------------------------------------
+
+  /** Boilerpipe-style density classifier. A block survives iff:
+    *  - it is outside every structural drop context, AND
+    *  - it is a heading with at least one word and link density < 0.8, OR
+    *  - it is long (≥ 10 words) with link density ≤ 0.5 (paragraphs
+    *    tolerate inline links), OR
+    *  - it is short (3–9 words) and nearly link-free (density ≤ 0.2) —
+    *    this is what kills menu rows and tag clouds, whose short runs are
+    *    mostly anchor text.
+    * Blocks under 3 words that aren't headings are noise (button labels,
+    * bullets, copyright lines) and are dropped. */
+  def keep(b: Block): Boolean = {
+    if (b.dropContext) false
+    else {
+      val density = if (b.chars == 0) 0.0 else b.anchorChars.toDouble / b.chars
+      if (b.heading) b.words >= 1 && density < 0.8
+      else if (b.words >= 10) density <= 0.5
+      else if (b.words >= 3) density <= 0.2
+      else false
+    }
+  }
+
+  /** Main content: kept blocks in document order, one line per block
+    * (matches the PDF kernel's line-per-unit contract). */
+  def html2txt(bytes: Array[Byte]): String = {
+    val parsed = parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder
+    parsed.blocks.foreach { b => if (keep(b)) sb.append(b.text).append('\n') }
+    sb.toString
+  }
+
+  /** In-content image references (appearance order, drop contexts excluded). */
+  def imageRefs(bytes: Array[Byte]): Seq[String] =
+    parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)).imageRefs
+}

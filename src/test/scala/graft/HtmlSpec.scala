@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.html.Html
+import graft.testkit.{HtmlBuilder, PdfBuilder}
+
+/** HTML main-content kernel: fixture expectations, sniffing dispatch,
+  * malformed-markup termination, and the mixed pdf+html e2e. */
+class HtmlSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("html-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  HtmlBuilder.all.foreach { f =>
+    test(s"${f.name}: main content matches the by-construction expectation") {
+      assert(Html.html2txt(f.bytes) == f.expected)
+    }
+  }
+
+  test("looksHtml: sniffing separates markup from PDF and garbage") {
+    HtmlBuilder.all.foreach(f => assert(Html.looksHtml(f.bytes), f.name))
+    assert(!Html.looksHtml(PdfBuilder.all.head.bytes))
+    assert(!Html.looksHtml(PdfBuilder.f16Garbage.bytes))
+    // BOM + leading whitespace before the markup
+    val bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ "  \n<html><body>x</body></html>".getBytes("UTF-8")
+    assert(Html.looksHtml(bom))
+    // %PDF- magic behind leading junk must win over a '<' (damaged PDFs)
+    assert(!Html.looksHtml("<junk>\n%PDF-1.4\n".getBytes("UTF-8")))
+    assert(!Html.looksHtml("plain text, no markup".getBytes("UTF-8")))
+    assert(!Html.looksHtml(Array.emptyByteArray))
+  }
+
+  test("imageRefs: drop contexts (figure, nav) exclude their images") {
+    assert(Html.imageRefs(HtmlBuilder.h05Images.bytes) == HtmlBuilder.h05ExpectedImages)
+  }
+
+  test("keep: classifier edges") {
+    import Html.Block
+    // anchor-dominated heading drops
+    assert(!Html.keep(Block("All Links", 2, 9, 9, heading = true, dropContext = false)))
+    // normal heading keeps
+    assert(Html.keep(Block("Title", 1, 5, 0, heading = true, dropContext = false)))
+    // drop context always drops, even long prose
+    assert(!Html.keep(Block("w " * 40, 40, 80, 0, heading = false, dropContext = true)))
+    // long prose tolerates density 0.5 but not more
+    assert(Html.keep(Block("x", 10, 100, 50, heading = false, dropContext = false)))
+    assert(!Html.keep(Block("x", 10, 100, 51, heading = false, dropContext = false)))
+    // short blocks need near-zero density
+    assert(Html.keep(Block("x", 3, 100, 20, heading = false, dropContext = false)))
+    assert(!Html.keep(Block("x", 3, 100, 21, heading = false, dropContext = false)))
+  }
+
+  test("malformed markup terminates and never throws") {
+    val cases = Seq(
+      "<br / >looping slash attr",                        // bare '/' in attr position
+      "<p <p <p nested brackets",                         // '<' inside a tag
+      "<a href=\"unterminated quote value",               // EOF inside quote
+      "<p>truncated tag at eof <div",                     // EOF mid-tag
+      "</div></div></p>stray closes only",                // close tags with empty stack
+      "<script>never closed raw text",                    // EOF inside raw text
+      "&#99999999999; &#xZZ; &brokenentity",              // bad character references
+      "<p>" + ("<span>" * 2000) + "deep" + ("</span>" * 2000)) // deep nesting
+    cases.foreach { c =>
+      val out = Html.html2txt(c.getBytes("UTF-8")) // must return, not hang/throw
+      assert(out != null, c)
+    }
+  }
+
+  test("e2e: mixed pdf+html corpus dispatches per payload, error contract intact") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val f01 = PdfBuilder.all.head
+    val h01 = HtmlBuilder.h01Article
+    val docs = s.createDataset(Seq(
+      Model.DocRow("mix01", Seq(
+        Model.InSpan("text", "intro", "", 0),
+        Model.InSpan("pdf", "", f01.name, 1),
+        Model.InSpan("html", "", h01.name, 2),
+        Model.InSpan("pdf", "", PdfBuilder.f16Garbage.name, 3),
+        Model.InSpan("text", "outro", "", 4))))).toDF()
+    val media = s.createDataset(Seq(
+      Model.MediaRow(f01.name, f01.bytes, 12),
+      Model.MediaRow(h01.name, h01.bytes, 10),
+      Model.MediaRow(PdfBuilder.f16Garbage.name, PdfBuilder.f16Garbage.bytes, 8))).toDF()
+    val out = java.nio.file.Files.createTempDirectory("html-e2e").toFile.getAbsolutePath
+    val got = ExtractJob.run(docs, media, out, runId = "t1")
+      .as[Model.OutSpan].collect().sortBy(_.order)
+      .map(o => (o.order, o.kind, o.text, o.media_ref))
+    val want = Array(
+      (0, "text", "intro", ""),
+      (1, "pdf_text", f01.expected, f01.name),
+      (2, "html_text", h01.expected, h01.name),
+      (3, "error", "", PdfBuilder.f16Garbage.name),
+      (4, "text", "outro", ""))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"got $g want $w") }
+  }
+}
