@@ -178,10 +178,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     import org.apache.spark.sql.functions._
-    val fixtures = testkit.PdfBuilder.all :+ testkit.PdfBuilder.f16Garbage
+    val fixtures = (testkit.PdfBuilder.all :+ testkit.PdfBuilder.f16Garbage) ++ testkit.HtmlBuilder.all
     def sizeBucket(n: Int): Int = 32 - Integer.numberOfLeadingZeros(math.max(1, n - 1))
+    def kind(f: testkit.PdfBuilder.Fixture) = if (f.name.startsWith("h")) "html" else "pdf"
     val docs = s.createDataset(fixtures.map(f =>
-      Model.DocRow(f.name, Seq(Model.InSpan("pdf", "", f.name, 0))))).toDF()
+      Model.DocRow(f.name, Seq(Model.InSpan(kind(f), "", f.name, 0))))).toDF()
     val media = s.createDataset(fixtures.map(f =>
       Model.MediaRow(f.name, f.bytes, sizeBucket(f.bytes.length)))).toDF()
     // batch pipeline
