@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{TrainingOps, MediaOps}
+import graft.operators.{TrainingOps, MediaOps, JoinOps, SketchOps}
 import graft.testkit.{PdfBuilder, HtmlBuilder, Corpus}
 
 /** Driver contract: one `queries` entry per implemented operator family
@@ -784,6 +784,63 @@ object SparkEntry {
             (sum(col("nt")).cast("double") / count(lit(1))).as("avg_tokens"),
             expr("percentile(nt, 0.5)").as("median_tokens"))
       }),
+      // AS-OF join (attribution): each event joins the latest same-user
+      // purchase at-or-before it — union-sort shape, one shuffle, no
+      // theta-join; oracle is DuckDB's native ASOF LEFT JOIN
+      "q_asof_attribution" -> ((s: SparkSession, d: String) => {
+        val ev = t(s, d, "events").select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("tus"))
+        val purchases = t(s, d, "events").where(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"),
+            unix_micros(col("ts").cast("timestamp")).as("p_tus"),
+            col("event_id").as("purchase_id"))
+        JoinOps.asofJoin(ev, "user_id", "tus", purchases, "p_user", "p_tus")
+          .select(col("event_id"), col("user_id"), col("purchase_id"),
+            (col("tus") - col("p_tus")).as("gap_us"))
+      }),
+      // pure range-containment join (no equality key): events inside each
+      // signup's 2-hour window, via hourly-bucketed equi-join — counts +
+      // order-independent extrema only (double sums aren't cross-engine)
+      "q_range_join_window" -> ((s: SparkSession, d: String) => {
+        val tus = unix_micros(col("ts").cast("timestamp"))
+        val ev = t(s, d, "events").select(col("event_id"), tus.as("tus"))
+        val anchors = t(s, d, "events").where(col("event_type") === "signup")
+          .select(col("event_id").as("anchor_id"), tus.as("s_us"),
+            (tus + lit(7200000000L)).as("e_us"))
+        val matched = JoinOps.rangeJoin(ev, "tus", anchors, "s_us", "e_us",
+          bucketUs = 3600000000L)
+          .groupBy(col("anchor_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("event_id")).as("min_event_id"),
+            max(col("event_id")).as("max_event_id"))
+        anchors.select(col("anchor_id")).join(matched, Seq("anchor_id"), "left")
+          .select(col("anchor_id"), coalesce(col("n_events"), lit(0L)).as("n_events"),
+            col("min_event_id"), col("max_event_id"))
+      }),
+      // HyperLogLog sketch: the mergeable register table itself (every row
+      // cross-engine exact — MD5 split + bin()-based leading-zero count)
+      "q_hll_registers" -> ((s: SparkSession, d: String) =>
+        SketchOps.hllRegisters(t(s, d, "documents"), col("text"))),
+      // ...and the estimate: exact integer harmonic pieces + ONE double
+      // division by a driver-embedded literal (bitwise-reproducible)
+      "q_hll_estimate" -> ((s: SparkSession, d: String) =>
+        SketchOps.hllEstimate(SketchOps.hllRegisters(t(s, d, "documents"), col("text")))),
+      // Count-Min sketch: the full counter matrix over word occurrences
+      "q_cms_sketch" -> ((s: SparkSession, d: String) =>
+        SketchOps.cmsSketch(t(s, d, "documents")
+          .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+          .where(col("w") =!= ""), col("w"))),
+      // ...point-queried for the exact top-10 terms: CMS estimate beside
+      // the true count (est >= true always; equal when no bucket collision)
+      "q_cms_heavy" -> ((s: SparkSession, d: String) => {
+        val words = t(s, d, "documents")
+          .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+          .where(col("w") =!= "")
+        val probes = TrainingOps.vocabTopK(t(s, d, "documents"), k = 10)
+        SketchOps.cmsEstimate(SketchOps.cmsSketch(words, col("w")),
+            probes, col("term"))
+          .join(probes.select(col("term").as("item"), col("n").as("true_count")), Seq("item"))
+      }),
       "q_vocab_topk" -> ((s: SparkSession, d: String) =>
         TrainingOps.vocabTopK(t(s, d, "documents"), k = 100)),
       "q_normalize" -> ((s: SparkSession, d: String) =>
@@ -995,6 +1052,15 @@ object SparkEntry {
         val fs = hx("h01_article", "h05_images")
         sp.createDataset(fs.map(f => (f.name, f.bytes))).toDF("media_ref", "bytes")
           .select(col("media_ref"), posexplode(graft.functions.PdfFunctions.htmlImageRefs(col("bytes"))).as(Seq("pos", "img_src")))
+      }),
+      // in-content outlinks from the HTML kernel (crawl-frontier feed):
+      // nav/footer/figure links are drop-context boilerplate and excluded
+      "x_html_links" -> ((s: SparkSession, _: String) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val fs = hx("h01_article", "h02_density", "h05_images")
+        sp.createDataset(fs.map(f => (f.name, f.bytes))).toDF("media_ref", "bytes")
+          .select(col("media_ref"), posexplode(graft.functions.PdfFunctions.htmlLinkRefs(col("bytes"))).as(Seq("pos", "href")))
       }))
 
     (extraction ++ relational ++ training).toMap
@@ -1240,6 +1306,58 @@ object SparkEntry {
           "SELECT source, COUNT(*) AS n_docs, CAST(MIN(nt) AS BIGINT) AS min_tokens, CAST(MAX(nt) AS BIGINT) AS max_tokens, " +
           "CAST(SUM(nt) AS DOUBLE) / COUNT(*) AS avg_tokens, quantile_cont(nt, 0.5) AS median_tokens " +
           "FROM t GROUP BY source"),
+      // DuckDB's native ASOF LEFT JOIN is the oracle for the union-sort form
+      "q_asof_attribution" ->
+        ("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events),
+           |p AS (SELECT user_id AS p_user, epoch_us(ts) AS p_tus, event_id AS purchase_id
+           |      FROM events WHERE event_type = 'purchase')
+           |SELECT e.event_id, e.user_id, p.purchase_id, e.tus - p.p_tus AS gap_us
+           |FROM e ASOF LEFT JOIN p ON e.user_id = p.p_user AND e.tus >= p.p_tus""".stripMargin),
+      // the bucketed equi-join must equal the plain inequality join
+      "q_range_join_window" ->
+        ("""WITH a AS (SELECT event_id AS anchor_id, epoch_us(ts) AS s_us, epoch_us(ts) + 7200000000 AS e_us
+           |      FROM events WHERE event_type = 'signup'),
+           |e AS (SELECT event_id, epoch_us(ts) AS tus FROM events)
+           |SELECT a.anchor_id, CAST(COUNT(e.event_id) AS BIGINT) AS n_events,
+           |  MIN(e.event_id) AS min_event_id, MAX(e.event_id) AS max_event_id
+           |FROM a LEFT JOIN e ON e.tus >= a.s_us AND e.tus < a.e_us
+           |GROUP BY a.anchor_id""".stripMargin),
+      // the whole register table recomputed in SQL: md5 split + bin()-based
+      // leading-zero count — bitwise agreement row for row
+      "q_hll_registers" ->
+        ("""WITH c AS (SELECT CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) AS register,
+           |  CAST('0x' || substr(md5(text), 3, 14) AS BIGINT) AS v FROM documents)
+           |SELECT register, MAX(CAST(CASE WHEN v = 0 THEN 57 ELSE 57 - length(bin(v)) END AS INTEGER)) AS max_rho
+           |FROM c GROUP BY register""".stripMargin),
+      "q_hll_estimate" ->
+        (s"""WITH c AS (SELECT CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) AS register,
+           |  CAST('0x' || substr(md5(text), 3, 14) AS BIGINT) AS v FROM documents),
+           |r AS (SELECT register, MAX(CAST(CASE WHEN v = 0 THEN 57 ELSE 57 - length(bin(v)) END AS INTEGER)) AS max_rho
+           |  FROM c GROUP BY register),
+           |a AS (SELECT CAST(COUNT(*) AS INTEGER) AS nonzero,
+           |  CAST(SUM(1::BIGINT << (40 - LEAST(max_rho, 40))) AS BIGINT) AS z_present FROM r)
+           |SELECT 256 AS m, nonzero,
+           |  z_present + CAST(256 - nonzero AS BIGINT) * 1099511627776 AS z_scaled,
+           |  ${SketchOps.hllAlphaScaled(8)} / CAST(z_present + CAST(256 - nonzero AS BIGINT) * 1099511627776 AS DOUBLE) AS estimate_raw
+           |FROM a""".stripMargin),
+      // the full Count-Min counter matrix recomputed in SQL
+      "q_cms_sketch" ->
+        ("""WITH wf AS (SELECT w FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents) t WHERE w <> ''),
+           |ds AS (SELECT CAST(unnest(range(4)) AS INTEGER) AS d)
+           |SELECT d, CAST(CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || w), 1, 8) AS BIGINT) % 256 AS INTEGER) AS bucket,
+           |  CAST(COUNT(*) AS BIGINT) AS cnt
+           |FROM wf CROSS JOIN ds GROUP BY 1, 2""".stripMargin),
+      "q_cms_heavy" ->
+        ("""WITH wf AS (SELECT w FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents) t WHERE w <> ''),
+           |ds AS (SELECT CAST(unnest(range(4)) AS INTEGER) AS d),
+           |sk AS (SELECT d, CAST(CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || w), 1, 8) AS BIGINT) % 256 AS INTEGER) AS bucket,
+           |  CAST(COUNT(*) AS BIGINT) AS cnt FROM wf CROSS JOIN ds GROUP BY 1, 2),
+           |top AS (SELECT w AS item, CAST(COUNT(*) AS BIGINT) AS true_count FROM wf GROUP BY w ORDER BY true_count DESC, item LIMIT 10),
+           |pb AS (SELECT item, true_count, d,
+           |  CAST(CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || item), 1, 8) AS BIGINT) % 256 AS INTEGER) AS bucket
+           |  FROM top CROSS JOIN ds)
+           |SELECT pb.item, MIN(sk.cnt) AS cms_count, MIN(pb.true_count) AS true_count
+           |FROM pb JOIN sk USING (d, bucket) GROUP BY pb.item""".stripMargin),
       "q_vocab_topk" ->
         ("SELECT term, n FROM (SELECT term, count(*)::BIGINT AS n FROM " +
           "(SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents) t0 " +
@@ -1273,7 +1391,8 @@ object SparkEntry {
       "q_media_gif_frames" -> mediaGifFramesOracle,
       "x_resume" -> resumeOracle,
       "x_html_mixed" -> htmlMixedOracle,
-      "x_html_images" -> htmlImagesOracle)
+      "x_html_images" -> htmlImagesOracle,
+      "x_html_links" -> htmlLinksOracle)
     (extraction ++ sql).toMap
   }
 
@@ -1296,5 +1415,17 @@ object SparkEntry {
       s"('h05_images', $i, ${sqlStr(src)})"
     }
     s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(media_ref, pos, img_src)"
+  }
+
+  /** By-inspection expected outlinks (hand-derived from the fixture HTML —
+    * NOT recomputed through the kernel, so this is a real oracle). */
+  private def htmlLinksOracle: String = {
+    val rows = Seq(
+      "h01_article" -> HtmlBuilder.h01ExpectedLinks,
+      "h02_density" -> HtmlBuilder.h02ExpectedLinks,
+      "h05_images" -> HtmlBuilder.h05ExpectedLinks).flatMap { case (name, links) =>
+      links.zipWithIndex.map { case (href, i) => s"(${sqlStr(name)}, $i, ${sqlStr(href)})" }
+    }
+    s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(media_ref, pos, href)"
   }
 }

@@ -33,11 +33,19 @@ object PdfFunctions {
   def htmlImageRefs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     udf(htmlImageRefsF).apply(c)
 
+  private val htmlLinkRefsF = (bytes: Array[Byte]) =>
+    if (bytes == null) null else graft.html.Html.linkRefs(bytes)
+
+  /** Column form of the HTML outlink extractor (in-content hrefs). */
+  def htmlLinkRefs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udf(htmlLinkRefsF).apply(c)
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("pdf2txt", udf(pdf2txtF))
     spark.udf.register("pdf2txt_safe", udf(pdf2txtSafeF))
     spark.udf.register("pdf2pages", udf(pdf2pagesF))
     spark.udf.register("html2txt", udf(html2txtF))
     spark.udf.register("html_image_refs", udf(htmlImageRefsF))
+    spark.udf.register("html_link_refs", udf(htmlLinkRefsF))
   }
 }

@@ -117,14 +117,17 @@ object Html {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == ' '
 
-  /** Parse result: blocks in document order plus in-content image refs
-    * (src of `<img>` outside any drop context, appearance order). */
-  final case class Parsed(blocks: Vector[Block], imageRefs: Vector[String])
+  /** Parse result: blocks in document order plus in-content media/link refs
+    * (src of `<img>` / href of `<a>` outside any drop context, appearance
+    * order — drop-context links are navigation chrome by definition). */
+  final case class Parsed(blocks: Vector[Block], imageRefs: Vector[String],
+                          linkRefs: Vector[String])
 
   def parse(html: String): Parsed = {
     val lower = html.toLowerCase // one pass; raw-text close-tag scans use it
     val out = Vector.newBuilder[Block]
     val images = Vector.newBuilder[String]
+    val links = Vector.newBuilder[String]
     val stack = ArrayBuffer.empty[String]
     val buf = new java.lang.StringBuilder(256)
     var words = 0; var chars = 0; var anchorChars = 0
@@ -219,6 +222,7 @@ object Html {
           // attribute scan (quote-aware: '>' inside a quoted value is data)
           var selfClose = false
           var srcAttr = ""
+          var hrefAttr = ""
           var done = false
           while (!done && j < n) {
             val ac = html.charAt(j)
@@ -248,6 +252,7 @@ object Html {
                 }
               }
               if (aname == "src") srcAttr = avalue
+              if (aname == "href") hrefAttr = avalue
             }
           }
           i = if (j < n && !done) n else if (done) j + 1 else n
@@ -261,6 +266,7 @@ object Html {
           } else {
             if (blockTags.contains(tag)) flush()
             if (tag == "img" && dropDepth == 0 && srcAttr.nonEmpty) images += srcAttr
+            if (tag == "a" && dropDepth == 0 && hrefAttr.nonEmpty) links += hrefAttr
             if (!voidTags.contains(tag)) {
               autoClose(tag)
               openEffects(tag)
@@ -299,7 +305,7 @@ object Html {
       }
     }
     flush()
-    Parsed(out.result(), images.result())
+    Parsed(out.result(), images.result(), links.result())
   }
 
   def blocks(html: String): Vector[Block] = parse(html).blocks
@@ -341,4 +347,10 @@ object Html {
   /** In-content image references (appearance order, drop contexts excluded). */
   def imageRefs(bytes: Array[Byte]): Seq[String] =
     parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)).imageRefs
+
+  /** In-content link hrefs (appearance order, drop contexts excluded —
+    * the outlink set a web-scale crawl frontier or link-graph stage
+    * consumes; nav/footer links are boilerplate and are not emitted). */
+  def linkRefs(bytes: Array[Byte]): Seq[String] =
+    parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)).linkRefs
 }

@@ -121,5 +121,12 @@ object HtmlBuilder {
   /** Expected in-content image refs of h05 (appearance order). */
   val h05ExpectedImages: Seq[String] = Seq("hero.png")
 
+  /** Expected in-content link hrefs (appearance order; nav/footer links
+    * are drop-context boilerplate and excluded by construction). */
+  val h01ExpectedLinks: Seq[String] = Seq("#")
+  val h02ExpectedLinks: Seq[String] = Seq("/a", "/b", "/c", "/size",
+    "/1", "/2", "/3", "/4", "/5", "/6", "/7", "/8", "/9", "/10")
+  val h05ExpectedLinks: Seq[String] = Seq("/fig")
+
   def all: Seq[Fixture] = Seq(h01Article, h02Density, h03Markup, h04Structure, h05Images)
 }
