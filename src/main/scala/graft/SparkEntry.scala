@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{TrainingOps, MediaOps, JoinOps, SketchOps}
+import graft.operators.{TrainingOps, MediaOps, JoinOps, SketchOps, WebOps, GraphOps}
 import graft.testkit.{PdfBuilder, HtmlBuilder, Corpus}
 
 /** Driver contract: one `queries` entry per implemented operator family
@@ -10,6 +10,57 @@ import graft.testkit.{PdfBuilder, HtmlBuilder, Corpus}
   * SQL-expressible. Extraction queries carry exact VALUES oracles built from
   * the by-construction fixture expectations. */
 object SparkEntry {
+
+  /** Deterministic messy-URL synthesis over `documents` — valid verbatim
+    * in BOTH Spark SQL and DuckDB (STRING is a VARCHAR alias in DuckDB),
+    * so the queries and their oracles share one definition. The five
+    * cases exercise every normalization rule: fragment strip, case fold,
+    * default-port drop (80/443), userinfo strip, non-default port kept,
+    * empty path. Case-4 collides heavily (one URL per source). */
+  private val urlSynthSql: String =
+    """CASE CAST(doc_id % 5 AS INT)
+      | WHEN 0 THEN concat('https://', source, '.example.com/d/', CAST(doc_id % 25 AS STRING), '?q=1#frag')
+      | WHEN 1 THEN concat('HTTP://', upper(source), '.Example.COM:80/d/', CAST(doc_id % 25 AS STRING))
+      | WHEN 2 THEN concat('https://', source, '.example.com:443/d/', CAST(doc_id % 25 AS STRING), '?q=1')
+      | WHEN 3 THEN concat('http://user@', source, '.example.org:8080/d/', CAST(doc_id % 25 AS STRING), '/x#top')
+      | ELSE concat('https://', source, '.example.com')
+      |END""".stripMargin
+
+  /** Deterministic link-graph synthesis over `documents` (valid verbatim
+    * in both engines): every link preserves doc_id mod 10, so the graph
+    * has EXACTLY 10 weakly-connected components of 50 nodes — a
+    * non-trivial target for the components op. Each residue's hub node
+    * (ids 0–9) collects ~52 in-links: heavy enough to drive co-citation
+    * and degree skew, just under the default hub cap. `% 500` matches the
+    * corpus row count at both test sfs. */
+  private val edgeSynthSql: String =
+    """SELECT doc_id AS src, (doc_id + 10) % 500 AS dst FROM documents
+      |UNION ALL SELECT doc_id, (doc_id + 230) % 500 FROM documents
+      |UNION ALL SELECT doc_id, doc_id % 10 FROM documents""".stripMargin
+
+  /** The DuckDB replica of [[WebOps.parseUrls]] over [[urlSynthSql]] —
+    * shared by the three URL-query oracles. Yields (doc_id, url, scheme,
+    * host, domain, url_norm, port, pathq). */
+  private val urlParseOracleCte: String =
+    s"""WITH u AS (SELECT doc_id, $urlSynthSql AS url FROM documents),
+       |nf0 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nf FROM u),
+       |p0 AS (SELECT doc_id, url,
+       |  lower(regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+       |  regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)', 2) AS auth,
+       |  regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*)://[^/?#]*(.*)', 2) AS pathq
+       |  FROM nf0),
+       |q0 AS (SELECT doc_id, url, scheme,
+       |  lower(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1)) AS host,
+       |  regexp_extract(auth, ':([0-9]+)$$', 1) AS port, pathq FROM p0),
+       |parsed AS (SELECT doc_id, url, scheme, host,
+       |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain,
+       |  CASE WHEN scheme = '' THEN '' ELSE
+       |    scheme || '://' || host ||
+       |    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443')
+       |          THEN '' ELSE ':' || port END) ||
+       |    (CASE WHEN pathq = '' THEN '/' ELSE pathq END)
+       |  END AS url_norm
+       |  FROM q0)""".stripMargin
 
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
@@ -841,6 +892,51 @@ object SparkEntry {
             probes, col("term"))
           .join(probes.select(col("term").as("item"), col("n").as("true_count")), Seq("item"))
       }),
+      // URL normalization: deterministic messy-URL synthesis (case, frag,
+      // default ports, userinfo — one shared SQL snippet in both engines)
+      // through pure-regex parse/canonicalize; zero UDFs, zero shuffles
+      "q_url_parse" -> ((s: SparkSession, d: String) =>
+        WebOps.parseUrls(t(s, d, "documents")
+            .select(col("doc_id"), expr(urlSynthSql).as("url")), col("url"))
+          .select(col("doc_id"), col("url"), col("scheme"), col("host"),
+            col("domain"), col("url_norm"))),
+      // crawl-frontier dedup on the normalized URL (the web-corpus dedup
+      // that happens before any content hash): variants collapse, min id
+      "q_url_dedup" -> ((s: SparkSession, d: String) =>
+        WebOps.dedupByUrl(
+          WebOps.parseUrls(t(s, d, "documents")
+            .select(col("doc_id"), expr(urlSynthSql).as("url")), col("url")),
+          col("doc_id"))),
+      // UT1-style domain blocklist: broadcast anti-join on the
+      // registrable domain drops every example.org doc
+      "q_domain_blocklist" -> ((s: SparkSession, d: String) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val blocked = Seq("example.org").toDF("domain")
+        WebOps.filterBlockedDomains(
+            WebOps.parseUrls(t(s, d, "documents")
+              .select(col("doc_id"), expr(urlSynthSql).as("url")), col("url")),
+            blocked)
+          .select(col("doc_id"), col("host"), col("domain"))
+      }),
+      // link-graph degrees (popularity prior): union + ONE node-keyed
+      // aggregation with map-side partial sums
+      "q_graph_degrees" -> ((s: SparkSession, d: String) => {
+        t(s, d, "documents").createOrReplaceTempView("documents")
+        GraphOps.degrees(s.sql(edgeSynthSql))
+      }),
+      // co-citation similarity: LSH-shaped bucket self-join on dst with
+      // the hub cap applied inside the join's own exchange
+      "q_graph_cocitation" -> ((s: SparkSession, d: String) => {
+        t(s, d, "documents").createOrReplaceTempView("documents")
+        GraphOps.coCitation(s.sql(edgeSynthSql))
+      }),
+      // weakly-connected components via the pointer-doubling label
+      // propagation proven for dedup clusters
+      "q_graph_components" -> ((s: SparkSession, d: String) => {
+        t(s, d, "documents").createOrReplaceTempView("documents")
+        GraphOps.components(s.sql(edgeSynthSql))
+      }),
       "q_vocab_topk" -> ((s: SparkSession, d: String) =>
         TrainingOps.vocabTopK(t(s, d, "documents"), k = 100)),
       "q_normalize" -> ((s: SparkSession, d: String) =>
@@ -1358,6 +1454,32 @@ object SparkEntry {
            |  FROM top CROSS JOIN ds)
            |SELECT pb.item, MIN(sk.cnt) AS cms_count, MIN(pb.true_count) AS true_count
            |FROM pb JOIN sk USING (d, bucket) GROUP BY pb.item""".stripMargin),
+      "q_graph_degrees" ->
+        (s"""WITH e AS ($edgeSynthSql),
+            |n AS (SELECT src AS node, 1 AS o, 0 AS i FROM e UNION ALL SELECT dst, 0, 1 FROM e)
+            |SELECT node, CAST(SUM(o) AS BIGINT) AS out_deg, CAST(SUM(i) AS BIGINT) AS in_deg
+            |FROM n GROUP BY node""".stripMargin),
+      // the hub cap is mirrored via the same window COUNT — the oracle
+      // detects both missed pairs and a broken cap
+      "q_graph_cocitation" ->
+        (s"""WITH e AS ($edgeSynthSql),
+            |dd AS (SELECT DISTINCT src AS s, dst AS d FROM e),
+            |c AS (SELECT s, d, COUNT(*) OVER (PARTITION BY d) AS bn FROM dd),
+            |f AS (SELECT s, d FROM c WHERE bn <= 64)
+            |SELECT x.s AS a, y.s AS b, CAST(COUNT(*) AS BIGINT) AS shared
+            |FROM f x JOIN f y ON x.d = y.d AND x.s < y.s GROUP BY 1, 2""".stripMargin),
+      "q_graph_components" ->
+        (s"""WITH RECURSIVE e AS ($edgeSynthSql),
+            |edges AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+            |reach AS (SELECT a AS id, a AS r FROM edges UNION SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a)
+            |SELECT id AS node, MIN(r) AS component FROM reach GROUP BY id""".stripMargin),
+      "q_url_parse" ->
+        (urlParseOracleCte + "\nSELECT doc_id, url, scheme, host, domain, url_norm FROM parsed"),
+      "q_url_dedup" ->
+        (urlParseOracleCte + "\nSELECT url_norm, MIN(doc_id) AS keep_id, " +
+          "CAST(COUNT(*) AS BIGINT) AS n_dupes FROM parsed GROUP BY url_norm"),
+      "q_domain_blocklist" ->
+        (urlParseOracleCte + "\nSELECT doc_id, host, domain FROM parsed WHERE domain <> 'example.org'"),
       "q_vocab_topk" ->
         ("SELECT term, n FROM (SELECT term, count(*)::BIGINT AS n FROM " +
           "(SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents) t0 " +

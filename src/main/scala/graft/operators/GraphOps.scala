@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Link-graph operators over an (src, dst) edge list — the downstream of
+  * [[graft.html.Html.linkRefs]]: once extraction has emitted per-document
+  * outlinks, the corpus IS a web graph, and ranking/quality signals come
+  * from graph shape (in-degree as a popularity prior, co-citation as
+  * similarity, components for mirror detection, PageRank for crawl
+  * prioritization).
+  *
+  * All integer-exact ops are driver queries with full SQL oracles;
+  * PageRank is float-iterative (sum order is engine-specific) so its
+  * contract is an sbt spec against closed-form expectations instead. */
+object GraphOps {
+
+  /** Out/in degree per node, including nodes that appear on only one
+    * side. Union + one aggregation: a single shuffle on the node id, with
+    * map-side partial sums — degree of a 10^12-edge graph never
+    * materializes more than (distinct nodes) rows. */
+  def degrees(edges: DataFrame, src: String = "src", dst: String = "dst"): DataFrame =
+    edges.select(col(src).as("node"), lit(1L).as("o"), lit(0L).as("i"))
+      .unionByName(edges.select(col(dst).as("node"), lit(0L).as("o"), lit(1L).as("i")))
+      .groupBy(col("node"))
+      .agg(sum(col("o")).as("out_deg"), sum(col("i")).as("in_deg"))
+
+  /** Co-citation pairs: (a, b, shared) for every pair of source nodes
+    * linking to ≥1 common destination — the classic link-based document
+    * similarity. Shape is the LSH bucket join: distinct edges, per-dst
+    * bucket size via a window COUNT inside the join's own exchange, hub
+    * destinations above `maxHub` dropped BEFORE the self-join (a node
+    * linked by n pages alone yields n² pairs; "everyone links to the
+    * homepage" is similarity signal zero and quadratic cost — same cap,
+    * same disclosure contract as minhashLshPairs). */
+  def coCitation(edges: DataFrame, maxHub: Int = 64,
+                 src: String = "src", dst: String = "dst"): DataFrame = {
+    val d = edges.select(col(src).as("s"), col(dst).as("d")).distinct()
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("d"))))
+      .where(col("bn") <= maxHub)
+    d.select(col("d"), col("s").as("a"))
+      .join(d.select(col("d"), col("s").as("b")), Seq("d"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+  }
+
+  /** Weakly-connected components (mirror/duplicate-site detection):
+    * delegates to the pointer-doubling min-label propagation already
+    * proven for dedup clusters — O(log diameter) rounds, reliable
+    * checkpoints optional. Returns (node → component). */
+  def components(edges: DataFrame, maxIter: Int = 20,
+                 checkpointDir: Option[String] = None,
+                 src: String = "src", dst: String = "dst"): DataFrame =
+    TrainingOps.dupClusters(
+        edges.select(col(src).as("doc_a"), col(dst).as("doc_b")),
+        maxIter, checkpointDir)
+      .select(col("doc_id").as("node"), col("cluster_id").as("component"))
+
+  /** PageRank, fixed iteration count, damping d: rank = (1-d)/N +
+    * d·Σ rank(in)/outdeg(in); dangling mass redistributed uniformly so
+    * ranks sum to 1 every round. Each round is one join + one aggregation
+    * on the edge list (persisted once); ranks are (node, double) — state
+    * linear in nodes, never in edges. Float-summation order makes this
+    * tolerance-comparable only, so it ships as API + spec, not as a
+    * hash-compared driver query. */
+  def pageRank(edges: DataFrame, iterations: Int = 10, damping: Double = 0.85,
+               src: String = "src", dst: String = "dst"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val e = edges.select(col(src).as("s"), col(dst).as("d")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("s").as("node")).union(e.select(col("d")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge list")
+    val outDeg = e.groupBy(col("s")).agg(count(lit(1)).as("od"))
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(ranks.withColumnRenamed("node", "s"), Seq("s"))
+        .join(outDeg, Seq("s"))
+        .groupBy(col("d").as("node"))
+        .agg(sum(col("rank") / col("od")).as("c"))
+      // dangling nodes (no out-edges) leak their rank: collect the leaked
+      // mass (one scalar) and spread it uniformly to keep Σrank = 1
+      val linkedMass = ranks.join(outDeg, ranks("node") === outDeg("s"), "left_semi")
+        .agg(sum(col("rank"))).head().getDouble(0)
+      val dangling = 1.0 - linkedMass
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1 - damping) / n) + lit(damping) *
+            (coalesce(col("c"), lit(0.0)) + lit(dangling / n))).as("rank"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(blocking = false); nodes.unpersist(blocking = false)
+    ranks
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.operators.WebOps
+
+class WebOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("webops-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def norm(urls: String*): Seq[(String, String, String, String)] = {
+    val sp = spark; import sp.implicits._
+    WebOps.parseUrls(urls.toDF("url"), col("url"))
+      .select("scheme", "host", "domain", "url_norm")
+      .as[(String, String, String, String)].collect().toSeq
+  }
+
+  test("parseUrls normalizes case, fragments, default ports, userinfo, empty paths") {
+    assert(norm("HTTPS://Example.COM") ==
+      Seq(("https", "example.com", "example.com", "https://example.com/")))
+    assert(norm("http://a.example.com:80/x?q=1#frag") ==
+      Seq(("http", "a.example.com", "example.com", "http://a.example.com/x?q=1")))
+    assert(norm("https://example.com:443/") ==
+      Seq(("https", "example.com", "example.com", "https://example.com/")))
+    assert(norm("http://example.com:8080/p") ==
+      Seq(("http", "example.com", "example.com", "http://example.com:8080/p")))
+    assert(norm("https://user:pw@sub.b.example.org:443/d#x") ==
+      Seq(("https", "sub.b.example.org", "example.org", "https://sub.b.example.org/d")))
+  }
+
+  test("parseUrls: non-URLs parse to empty fields, never error") {
+    assert(norm("not a url", "", "ftp://files.example.net/a.txt").map(_._1) ==
+      Seq("", "", "ftp"))
+    assert(norm("not a url").head._4 == "")
+  }
+
+  test("dedupByUrl groups normalized variants and keeps the min id") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (10L, "https://Example.com/a#one"),
+      (3L, "HTTPS://example.COM:443/a"),
+      (7L, "https://example.com/b")).toDF("doc_id", "url")
+    val got = WebOps.dedupByUrl(WebOps.parseUrls(docs, col("url")), col("doc_id"))
+      .select("url_norm", "keep_id", "n_dupes")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("https://example.com/a", 3L, 2L), ("https://example.com/b", 7L, 1L)))
+  }
+
+  test("filterBlockedDomains drops blocklisted registrable domains via broadcast anti-join") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "https://ok.example.com/x"),
+      (2L, "http://bad.example.org/y"),
+      (3L, "https://example.org/z")).toDF("doc_id", "url")
+    val blocked = Seq("example.org").toDF("domain")
+    val kept = WebOps.filterBlockedDomains(WebOps.parseUrls(docs, col("url")), blocked)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+}
