@@ -876,6 +876,9 @@ object SparkEntry {
       // division by a driver-embedded literal (bitwise-reproducible)
       "q_hll_estimate" -> ((s: SparkSession, d: String) =>
         SketchOps.hllEstimate(SketchOps.hllRegisters(t(s, d, "documents"), col("text")))),
+      // mergeable log2 length histogram: the corpus shape in <=64 rows
+      "q_log_histogram" -> ((s: SparkSession, d: String) =>
+        SketchOps.logHistogram(t(s, d, "documents"), col("n_chars"))),
       // Count-Min sketch: the full counter matrix over word occurrences
       "q_cms_sketch" -> ((s: SparkSession, d: String) =>
         SketchOps.cmsSketch(t(s, d, "documents")
@@ -1157,6 +1160,17 @@ object SparkEntry {
         val fs = hx("h01_article", "h02_density", "h05_images")
         sp.createDataset(fs.map(f => (f.name, f.bytes))).toDF("media_ref", "bytes")
           .select(col("media_ref"), posexplode(graft.functions.PdfFunctions.htmlLinkRefs(col("bytes"))).as(Seq("pos", "href")))
+      }),
+      // labeled outlinks: (href, visible anchor text) — anchor text is the
+      // classic relevance signal for the TARGET page (it feeds the
+      // anchor-text index, not the source doc's own features)
+      "x_html_anchors" -> ((s: SparkSession, _: String) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val fs = hx("h01_article", "h02_density", "h05_images")
+        sp.createDataset(fs.map(f => (f.name, f.bytes))).toDF("media_ref", "bytes")
+          .select(col("media_ref"), posexplode(graft.functions.PdfFunctions.htmlAnchors(col("bytes"))).as(Seq("pos", "a")))
+          .select(col("media_ref"), col("pos"), col("a._1").as("href"), col("a._2").as("anchor_text"))
       }))
 
     (extraction ++ relational ++ training).toMap
@@ -1436,6 +1450,10 @@ object SparkEntry {
            |  z_present + CAST(256 - nonzero AS BIGINT) * 1099511627776 AS z_scaled,
            |  ${SketchOps.hllAlphaScaled(8)} / CAST(z_present + CAST(256 - nonzero AS BIGINT) * 1099511627776 AS DOUBLE) AS estimate_raw
            |FROM a""".stripMargin),
+      "q_log_histogram" ->
+        ("SELECT CASE WHEN n_chars <= 0 THEN -1 ELSE CAST(length(bin(n_chars)) AS INTEGER) - 1 END AS bin, " +
+          "CAST(COUNT(*) AS BIGINT) AS n, MIN(n_chars) AS min_v, MAX(n_chars) AS max_v " +
+          "FROM documents GROUP BY 1"),
       // the full Count-Min counter matrix recomputed in SQL
       "q_cms_sketch" ->
         ("""WITH wf AS (SELECT w FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents) t WHERE w <> ''),
@@ -1514,7 +1532,8 @@ object SparkEntry {
       "x_resume" -> resumeOracle,
       "x_html_mixed" -> htmlMixedOracle,
       "x_html_images" -> htmlImagesOracle,
-      "x_html_links" -> htmlLinksOracle)
+      "x_html_links" -> htmlLinksOracle,
+      "x_html_anchors" -> htmlAnchorsOracle)
     (extraction ++ sql).toMap
   }
 
@@ -1549,5 +1568,19 @@ object SparkEntry {
       links.zipWithIndex.map { case (href, i) => s"(${sqlStr(name)}, $i, ${sqlStr(href)})" }
     }
     s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(media_ref, pos, href)"
+  }
+
+  /** By-inspection expected (href, anchor text) pairs. */
+  private def htmlAnchorsOracle: String = {
+    val rows = Seq(
+      ("h01_article", HtmlBuilder.h01ExpectedLinks, HtmlBuilder.h01ExpectedAnchorTexts),
+      ("h02_density", HtmlBuilder.h02ExpectedLinks, HtmlBuilder.h02ExpectedAnchorTexts),
+      ("h05_images", HtmlBuilder.h05ExpectedLinks, HtmlBuilder.h05ExpectedAnchorTexts))
+      .flatMap { case (name, links, texts) =>
+        links.zip(texts).zipWithIndex.map { case ((href, text), i) =>
+          s"(${sqlStr(name)}, $i, ${sqlStr(href)}, ${sqlStr(text)})"
+        }
+      }
+    s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(media_ref, pos, href, anchor_text)"
   }
 }

@@ -40,6 +40,13 @@ object PdfFunctions {
   def htmlLinkRefs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     udf(htmlLinkRefsF).apply(c)
 
+  private val htmlAnchorsF = (bytes: Array[Byte]) =>
+    if (bytes == null) null else graft.html.Html.anchors(bytes)
+
+  /** Column form of the (href, anchor text) pair extractor. */
+  def htmlAnchors(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udf(htmlAnchorsF).apply(c)
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("pdf2txt", udf(pdf2txtF))
     spark.udf.register("pdf2txt_safe", udf(pdf2txtSafeF))
@@ -47,5 +54,6 @@ object PdfFunctions {
     spark.udf.register("html2txt", udf(html2txtF))
     spark.udf.register("html_image_refs", udf(htmlImageRefsF))
     spark.udf.register("html_link_refs", udf(htmlLinkRefsF))
+    spark.udf.register("html_anchors", udf(htmlAnchorsF))
   }
 }

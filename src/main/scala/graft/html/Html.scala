@@ -121,13 +121,20 @@ object Html {
     * (src of `<img>` / href of `<a>` outside any drop context, appearance
     * order — drop-context links are navigation chrome by definition). */
   final case class Parsed(blocks: Vector[Block], imageRefs: Vector[String],
-                          linkRefs: Vector[String])
+                          linkRefs: Vector[String], anchorTexts: Vector[String])
 
   def parse(html: String): Parsed = {
     val lower = html.toLowerCase // one pass; raw-text close-tag scans use it
     val out = Vector.newBuilder[Block]
     val images = Vector.newBuilder[String]
-    val links = Vector.newBuilder[String]
+    val links = ArrayBuffer.empty[String]
+    // anchorTexts(i) = visible text of links(i); captured for the OUTERMOST
+    // href-carrying in-content anchor (nested <a> is invalid HTML — inner
+    // links still emit their href, with empty text)
+    val anchorTexts = ArrayBuffer.empty[String]
+    var capBuf: java.lang.StringBuilder = null
+    var capIdx = -1
+    var capDepth = 0
     val stack = ArrayBuffer.empty[String]
     val buf = new java.lang.StringBuilder(256)
     var words = 0; var chars = 0; var anchorChars = 0
@@ -148,11 +155,15 @@ object Html {
       while (j < s.length) {
         val c = s.charAt(j)
         if (isWs(c)) {
-          if (!lastWasSpace) { buf.append(' '); chars += 1; if (anchorDepth > 0) anchorChars += 1 }
+          if (!lastWasSpace) {
+            buf.append(' '); chars += 1; if (anchorDepth > 0) anchorChars += 1
+            if (capBuf != null) capBuf.append(' ')
+          }
           lastWasSpace = true
         } else {
           if (lastWasSpace) words += 1 // a non-space after a gap starts a word
           buf.append(c); chars += 1; if (anchorDepth > 0) anchorChars += 1
+          if (capBuf != null) capBuf.append(c)
           lastWasSpace = false
         }
         j += 1
@@ -164,8 +175,15 @@ object Html {
       if (dropTags.contains(tag)) dropDepth += 1
       if (headingTags.contains(tag)) headingDepth += 1
     }
+    def endCapture(): Unit = {
+      anchorTexts(capIdx) = capBuf.toString.trim
+      capBuf = null; capIdx = -1; capDepth = 0
+    }
     def closeEffects(tag: String): Unit = {
-      if (tag == "a" && anchorDepth > 0) anchorDepth -= 1
+      if (tag == "a" && anchorDepth > 0) {
+        anchorDepth -= 1
+        if (capBuf != null && anchorDepth < capDepth) endCapture()
+      }
       if (dropTags.contains(tag) && dropDepth > 0) dropDepth -= 1
       if (headingTags.contains(tag) && headingDepth > 0) headingDepth -= 1
     }
@@ -266,7 +284,15 @@ object Html {
           } else {
             if (blockTags.contains(tag)) flush()
             if (tag == "img" && dropDepth == 0 && srcAttr.nonEmpty) images += srcAttr
-            if (tag == "a" && dropDepth == 0 && hrefAttr.nonEmpty) links += hrefAttr
+            if (tag == "a" && dropDepth == 0 && hrefAttr.nonEmpty) {
+              links += hrefAttr
+              anchorTexts += ""
+              if (capBuf == null) { // outermost wins; see anchorTexts note
+                capBuf = new java.lang.StringBuilder(64)
+                capIdx = anchorTexts.length - 1
+                capDepth = anchorDepth + 1 // openEffects increments just below
+              }
+            }
             if (!voidTags.contains(tag)) {
               autoClose(tag)
               openEffects(tag)
@@ -305,7 +331,8 @@ object Html {
       }
     }
     flush()
-    Parsed(out.result(), images.result(), links.result())
+    if (capBuf != null) endCapture() // unclosed <a> at EOF
+    Parsed(out.result(), images.result(), links.toVector, anchorTexts.toVector)
   }
 
   def blocks(html: String): Vector[Block] = parse(html).blocks
@@ -353,4 +380,14 @@ object Html {
     * consumes; nav/footer links are boilerplate and are not emitted). */
   def linkRefs(bytes: Array[Byte]): Seq[String] =
     parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)).linkRefs
+
+  /** In-content (href, anchor text) pairs — the labeled edge list a
+    * link-graph / anchor-text-index stage consumes (anchor text is the
+    * classic relevance signal for the TARGET page). Text is the visible,
+    * entity-decoded, whitespace-collapsed content of the outermost
+    * anchor element, trimmed. */
+  def anchors(bytes: Array[Byte]): Seq[(String, String)] = {
+    val p = parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    p.linkRefs.zip(p.anchorTexts)
+  }
 }

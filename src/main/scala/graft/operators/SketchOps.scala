@@ -94,6 +94,22 @@ object SketchOps {
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
   }
 
+  /** Mergeable log2 histogram of a long-valued column (doc lengths, token
+    * counts, degree distributions): bin = floor(log2 v) computed EXACTLY
+    * as length(bin(v)) - 1 — no floats, so cross-engine bitwise. Same
+    * monoid argument as the other sketches: counts/min/max combine
+    * associatively, partial aggregation ships ≤64 bins per partition, and
+    * histograms of two corpora union + re-aggregate into the histogram of
+    * the union. The shape of a 10^12-doc length distribution costs one
+    * narrow pass. v ≤ 0 lands in bin -1 (sentinel, disclosed). */
+  def logHistogram(df: DataFrame, value: Column): DataFrame = {
+    val v = value.cast("long")
+    val b = when(v <= 0, lit(-1)).otherwise(length(bin(v)).cast("int") - 1)
+    df.select(b.as("bin"), v.as("v"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+  }
+
   /** Per-(row, item) CMS bucket: row hash family is md5(d || ':' || item),
     * first 32 bits mod width — independent-enough rows, engine-portable. */
   private def cmsBucket(d: Column, item: Column, width: Int): Column =

@@ -128,5 +128,13 @@ object HtmlBuilder {
     "/1", "/2", "/3", "/4", "/5", "/6", "/7", "/8", "/9", "/10")
   val h05ExpectedLinks: Seq[String] = Seq("/fig")
 
+  /** Expected visible anchor texts, aligned index-for-index with the
+    * `*ExpectedLinks` above (entity-decoded, collapsed, trimmed). */
+  val h01ExpectedAnchorTexts: Seq[String] = Seq("Boilerpipe")
+  val h02ExpectedAnchorTexts: Seq[String] = Seq("Products", "Pricing",
+    "Support", "size bucket", "one", "two", "three", "four", "five", "six",
+    "seven", "eight", "nine", "ten")
+  val h05ExpectedAnchorTexts: Seq[String] = Seq("figures")
+
   def all: Seq[Fixture] = Seq(h01Article, h02Density, h03Markup, h04Structure, h05Images)
 }

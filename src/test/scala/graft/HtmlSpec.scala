@@ -47,6 +47,27 @@ class HtmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Html.imageRefs(HtmlBuilder.h05Images.bytes) == HtmlBuilder.h05ExpectedImages)
   }
 
+  test("anchors: visible text per link, fixtures + structural edges") {
+    assert(Html.anchors(HtmlBuilder.h01Article.bytes) ==
+      HtmlBuilder.h01ExpectedLinks.zip(HtmlBuilder.h01ExpectedAnchorTexts))
+    assert(Html.anchors(HtmlBuilder.h02Density.bytes) ==
+      HtmlBuilder.h02ExpectedLinks.zip(HtmlBuilder.h02ExpectedAnchorTexts))
+    // inline markup + entity inside the anchor; whitespace collapses
+    assert(Html.anchors("<p><a href='/x'>a  <b>b&amp;c</b>\n d</a></p>".getBytes("UTF-8")) ==
+      Seq(("/x", "a b&c d")))
+    // anchor force-closed by an implied-end-tag pop (<p> autoclose)
+    assert(Html.anchors("<p><a href='/y'>before<p>after</p>".getBytes("UTF-8")) ==
+      Seq(("/y", "before")))
+    // unclosed anchor at EOF still yields its text
+    assert(Html.anchors("<p><a href='/z'>tail text".getBytes("UTF-8")) ==
+      Seq(("/z", "tail text")))
+    // nested anchors (invalid HTML): outer captures, inner emits href + ""
+    assert(Html.anchors("<a href='/o'>x<a href='/i'>y</a>z</a>".getBytes("UTF-8")) ==
+      Seq(("/o", "xyz"), ("/i", "")))
+    // drop-context anchors emit nothing
+    assert(Html.anchors("<nav><a href='/n'>Nav</a></nav>".getBytes("UTF-8")).isEmpty)
+  }
+
   test("keep: classifier edges") {
     import Html.Block
     // anchor-dominated heading drops

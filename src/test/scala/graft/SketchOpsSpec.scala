@@ -101,4 +101,23 @@ class SketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exact = truth.count { case (w, n) => est(w) == n }
     assert(exact >= truth.size / 2)
   }
+
+  test("logHistogram: exact floor-log2 bins, sentinel bin, merge law") {
+    val sp = spark; import sp.implicits._
+    val vals = Seq(-3L, 0L, 1L, 1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L)
+    val got = SketchOps.logHistogram(vals.toDF("v"), col("v"))
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      -1 -> ((2L, -3L, 0L)), 0 -> ((2L, 1L, 1L)), 1 -> ((2L, 2L, 3L)),
+      2 -> ((2L, 4L, 7L)), 3 -> ((1L, 8L, 8L)), 9 -> ((1L, 1023L, 1023L)),
+      10 -> ((1L, 1024L, 1024L))))
+    // merge law: histogram(a ++ b) == combine(histogram(a), histogram(b))
+    val (a, b) = vals.splitAt(5)
+    val merged = SketchOps.logHistogram(a.toDF("v"), col("v"))
+      .unionByName(SketchOps.logHistogram(b.toDF("v"), col("v")))
+      .groupBy(col("bin"))
+      .agg(sum(col("n")).as("n"), min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(merged == got)
+  }
 }
