@@ -940,8 +940,18 @@ object SparkEntry {
         t(s, d, "documents").createOrReplaceTempView("documents")
         GraphOps.components(s.sql(edgeSynthSql))
       }),
+      // integer fixed-point PageRank: floor-division contributions make
+      // the WHOLE rank table bitwise-reproducible (float PageRank is
+      // summation-order-dependent and could never be hash-compared)
+      "q_graph_pagerank" -> ((s: SparkSession, d: String) => {
+        t(s, d, "documents").createOrReplaceTempView("documents")
+        GraphOps.pageRankFixedPoint(s.sql(edgeSynthSql), iterations = 3)
+      }),
       "q_vocab_topk" -> ((s: SparkSession, d: String) =>
         TrainingOps.vocabTopK(t(s, d, "documents"), k = 100)),
+      // exact integer core of TF-IDF: tf + df per term, vocabulary-sized
+      "q_term_doc_freq" -> ((s: SparkSession, d: String) =>
+        TrainingOps.termDocFreq(t(s, d, "documents"))),
       "q_normalize" -> ((s: SparkSession, d: String) =>
         TrainingOps.normalize(t(s, d, "documents"))),
       // the composed normalize→dedup→quality→sample cleaning pipeline
@@ -1491,6 +1501,23 @@ object SparkEntry {
             |edges AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
             |reach AS (SELECT a AS id, a AS r FROM edges UNION SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a)
             |SELECT id AS node, MIN(r) AS component FROM reach GROUP BY id""".stripMargin),
+      // 3 iterations unrolled; every step integer (// is floor-div on
+      // positives, same truncation as Spark's `div`); SUM(BIGINT) is
+      // HUGEINT in DuckDB → cast back per iteration
+      "q_graph_pagerank" ->
+        (s"""WITH e0 AS ($edgeSynthSql),
+            |e AS (SELECT DISTINCT src AS s, dst AS d FROM e0),
+            |nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+            |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+            |od AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS od FROM e GROUP BY s),
+            |r0 AS (SELECT node, 1000000000000 // (SELECT n FROM cnt) AS rank FROM nodes),
+            |c1 AS (SELECT e.d AS node, CAST(SUM(r0.rank // od.od) AS BIGINT) AS c FROM e JOIN r0 ON e.s = r0.node JOIN od ON e.s = od.s GROUP BY e.d),
+            |r1 AS (SELECT nodes.node, (1000000000000 - 1000000000000 * 85 // 100) // (SELECT n FROM cnt) + (85 * COALESCE(c1.c, 0)) // 100 AS rank FROM nodes LEFT JOIN c1 ON nodes.node = c1.node),
+            |c2 AS (SELECT e.d AS node, CAST(SUM(r1.rank // od.od) AS BIGINT) AS c FROM e JOIN r1 ON e.s = r1.node JOIN od ON e.s = od.s GROUP BY e.d),
+            |r2 AS (SELECT nodes.node, (1000000000000 - 1000000000000 * 85 // 100) // (SELECT n FROM cnt) + (85 * COALESCE(c2.c, 0)) // 100 AS rank FROM nodes LEFT JOIN c2 ON nodes.node = c2.node),
+            |c3 AS (SELECT e.d AS node, CAST(SUM(r2.rank // od.od) AS BIGINT) AS c FROM e JOIN r2 ON e.s = r2.node JOIN od ON e.s = od.s GROUP BY e.d),
+            |r3 AS (SELECT nodes.node, (1000000000000 - 1000000000000 * 85 // 100) // (SELECT n FROM cnt) + (85 * COALESCE(c3.c, 0)) // 100 AS rank FROM nodes LEFT JOIN c3 ON nodes.node = c3.node)
+            |SELECT node, rank FROM r3""".stripMargin),
       "q_url_parse" ->
         (urlParseOracleCte + "\nSELECT doc_id, url, scheme, host, domain, url_norm FROM parsed"),
       "q_url_dedup" ->
@@ -1498,6 +1525,10 @@ object SparkEntry {
           "CAST(COUNT(*) AS BIGINT) AS n_dupes FROM parsed GROUP BY url_norm"),
       "q_domain_blocklist" ->
         (urlParseOracleCte + "\nSELECT doc_id, host, domain FROM parsed WHERE domain <> 'example.org'"),
+      "q_term_doc_freq" ->
+        ("SELECT term, CAST(COUNT(*) AS BIGINT) AS tf, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM " +
+          "(SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents) t " +
+          "WHERE term <> '' GROUP BY term"),
       "q_vocab_topk" ->
         ("SELECT term, n FROM (SELECT term, count(*)::BIGINT AS n FROM " +
           "(SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents) t0 " +

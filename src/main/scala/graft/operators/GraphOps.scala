@@ -57,6 +57,50 @@ object GraphOps {
         maxIter, checkpointDir)
       .select(col("doc_id").as("node"), col("cluster_id").as("component"))
 
+  /** Integer fixed-point PageRank: ranks are BIGINTs scaled by `scale`,
+    * contributions use floor division — every operation is exact 64-bit
+    * integer arithmetic, so (unlike float PageRank, where summation order
+    * is engine-specific) the FULL rank table is bitwise-reproducible by
+    * any engine and hash-comparable against a SQL oracle. Precision loss
+    * vs float is ≤ (iterations × max-in-degree) units of 1/scale —
+    * irrelevant at scale=10^12 for ranking purposes.
+    *
+    * Contract: every node has out-degree ≥ 1 (no dangling mass —
+    * `require`d cheaply via an assert-free count), damping = 85/100
+    * exactly. Each iteration is one join + one aggregation on the edge
+    * list; rank state is (node, long) — linear in nodes. */
+  def pageRankFixedPoint(edges: DataFrame, iterations: Int = 3,
+                         scale: Long = 1000000000000L,
+                         src: String = "src", dst: String = "dst"): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val e = edges.select(col(src).as("s"), col(dst).as("d")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("s").as("node")).union(e.select(col("d")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "pageRankFixedPoint needs a non-empty edge list")
+    val dangling = nodes.join(e.select(col("s").as("node")).distinct(),
+      Seq("node"), "left_anti").limit(1).count()
+    require(dangling == 0,
+      "pageRankFixedPoint requires out-degree >= 1 everywhere (no dangling nodes)")
+    val outDeg = e.groupBy(col("s")).agg(count(lit(1)).as("od"))
+    val base = (scale - scale * 85L / 100L) / n
+    var ranks = nodes.withColumn("rank", lit(scale / n))
+    for (_ <- 1 to iterations) {
+      ranks = nodes.join(
+          e.join(ranks.withColumnRenamed("node", "s"), Seq("s"))
+            .join(outDeg, Seq("s"))
+            .groupBy(col("d").as("node"))
+            .agg(sum(expr("rank div od")).as("c")),
+          Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("rank"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(blocking = false); nodes.unpersist(blocking = false)
+    ranks
+  }
+
   /** PageRank, fixed iteration count, damping d: rank = (1-d)/N +
     * d·Σ rank(in)/outdeg(in); dangling mass redistributed uniformly so
     * ranks sum to 1 every round. Each round is one join + one aggregation

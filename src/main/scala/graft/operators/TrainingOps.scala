@@ -605,6 +605,36 @@ object TrainingOps {
       .orderBy(col("n").desc, col("term"))
       .limit(k)
 
+  /** Collection term statistics: one row per distinct term with total
+    * occurrences (tf) and document frequency (df) — the exact integer
+    * core of TF-IDF and of df-based stopword/boilerplate thresholds.
+    * One explode + one term-keyed aggregation with map-side partial
+    * counts; output is vocabulary-sized, never corpus-sized. */
+  def termDocFreq(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+
+  /** Per-document top-k TF-IDF terms (score = tf · ln(N/df)). The float
+    * log makes this API + spec-tested, not hash-compared (see
+    * `pageRankFixedPoint` for the same reasoning); the integer inputs are
+    * the driver-gated [[termDocFreq]]. At 10^12 docs the df table is
+    * vocabulary-sized — broadcast it (here a plain join keeps AQE free to
+    * choose; df of real corpora fits comfortably in a broadcast). */
+  def tfIdf(docs: DataFrame, topK: Int = 5): DataFrame = {
+    val n = docs.count()
+    val terms = docs.select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= topK).drop("rn")
+  }
+
   /** Text normalization for dedup/training: lowercase, strip everything
     * outside [a-z0-9 ], collapse whitespace runs, trim. Pure codegen'd
     * expressions. */

@@ -64,6 +64,23 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     r
   }
 
+  test("pageRankFixedPoint tracks float PageRank within fixed-point error and rejects dangling") {
+    val sp = spark; import sp.implicits._
+    // strongly-linked graph, out-degree >= 1 everywhere
+    val edges = Seq((0, 1), (1, 2), (2, 0), (2, 1), (3, 0), (0, 3))
+    val want = densePr(4, edges, iters = 4, d = 0.85)
+    val got = GraphOps.pageRankFixedPoint(
+        edges.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst"),
+        iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    for (i <- 0 until 4)
+      assert(math.abs(got(i.toLong) / 1e12 - want(i)) < 1e-9,
+        s"node $i: ${got(i.toLong) / 1e12} vs ${want(i)}")
+    // node 4 dangles → contract violation must be rejected loudly
+    val bad = (edges :+ ((1, 4))).map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst")
+    assertThrows[IllegalArgumentException](GraphOps.pageRankFixedPoint(bad))
+  }
+
   test("pageRank matches a dense reference implementation on a dangling graph") {
     val sp = spark; import sp.implicits._
     // star into 0 (dangling) plus a 2-cycle among 5,6

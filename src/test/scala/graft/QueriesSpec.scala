@@ -438,4 +438,24 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, 2L, 4L, 0.5), (2L, 3L, 3L, 1.0)), s"got $got")
   }
+
+  test("tfIdf: hand-computed scores, per-doc top-k, deterministic ties") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c d")).toDF("doc_id", "text")
+    val got = operators.TrainingOps.tfIdf(docs, topK = 2)
+      .select("doc_id", "term", "tf", "score")
+      .as[(Long, String, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(-_._4).toList).toMap
+    // df: a=2, b=1, c=2, d=1; N=3. Spark's log may differ from
+    // math.log by 1 ulp (StrictMath vs Math) → tolerance compare
+    def close(rows: List[(Long, String, Long, Double)],
+              want: List[(Long, String, Long, Double)]): Unit = {
+      assert(rows.map(r => (r._1, r._2, r._3)) == want.map(r => (r._1, r._2, r._3)), s"got $rows")
+      rows.zip(want).foreach { case (g, w) => assert(math.abs(g._4 - w._4) < 1e-12) }
+    }
+    val ln = (x: Double) => math.log(x)
+    close(got(1L), List((1L, "b", 1L, ln(3.0 / 1)), (1L, "a", 2L, 2 * ln(3.0 / 2))))
+    assert(got(2L).map(_._2).toSet == Set("a", "c")) // equal scores, both kept
+    close(got(3L), List((3L, "d", 1L, ln(3.0 / 1)), (3L, "c", 2L, 2 * ln(3.0 / 2))))
+  }
 }
