@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{TrainingOps, MediaOps, JoinOps, SketchOps, WebOps, GraphOps}
-import graft.testkit.{PdfBuilder, HtmlBuilder, Corpus}
+import graft.testkit.{PdfBuilder, HtmlBuilder, WarcBuilder, Corpus}
 
 /** Driver contract: one `queries` entry per implemented operator family
   * (SURVEY.md §2 + the training-data ops), each with a DuckDB oracle where
@@ -1181,9 +1181,34 @@ object SparkEntry {
         sp.createDataset(fs.map(f => (f.name, f.bytes))).toDF("media_ref", "bytes")
           .select(col("media_ref"), posexplode(graft.functions.PdfFunctions.htmlAnchors(col("bytes"))).as(Seq("pos", "a")))
           .select(col("media_ref"), col("pos"), col("a._1").as("href"), col("a._2").as("anchor_text"))
+      }),
+      // WARC crawl-archive ingestion: container explode (one flatMap pass,
+      // streaming per-record parse) feeding the SAME content-sniffed
+      // extraction kernel. Plain and per-record-gzip archives must agree;
+      // a malformed archive degrades to one error span (§2.9), no aborts.
+      "x_warc_extract" -> ((s: SparkSession, _: String) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val warcs = sp.createDataset(Seq(
+            ("w1_plain", WarcBuilder.plain),
+            ("w2_gzip", WarcBuilder.gzipped),
+            ("w3_bad", WarcBuilder.malformed)))
+          .toDF("warc_ref", "bytes")
+        operators.WarcOps.extractWarc(warcs, 8)
       }))
 
     (extraction ++ relational ++ training).toMap
+  }
+
+  /** By-construction oracle for the WARC leg: both storage variants yield
+    * the same three documents; the malformed file is one error span. */
+  private def warcOracle: String = {
+    val rows = Seq("w1_plain", "w2_gzip").flatMap { ref =>
+      WarcBuilder.docs.zipWithIndex.map { case (d, i) =>
+        s"(${sqlStr(d.uri)}, 0, ${sqlStr(d.kind)}, ${sqlStr(d.expected)}, ${sqlStr(s"$ref#$i")})"
+      }
+    } :+ "('w3_bad', 0, 'error', '', 'w3_bad#bad')"
+    s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(doc_id, ord, kind, text, media_ref)"
   }
 
   /** run-1 commits all but the last; run-2 adds the last. */
@@ -1564,7 +1589,8 @@ object SparkEntry {
       "x_html_mixed" -> htmlMixedOracle,
       "x_html_images" -> htmlImagesOracle,
       "x_html_links" -> htmlLinksOracle,
-      "x_html_anchors" -> htmlAnchorsOracle)
+      "x_html_anchors" -> htmlAnchorsOracle,
+      "x_warc_extract" -> warcOracle)
     (extraction ++ sql).toMap
   }
 
