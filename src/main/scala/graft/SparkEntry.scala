@@ -922,6 +922,26 @@ object SparkEntry {
             blocked)
           .select(col("doc_id"), col("host"), col("domain"))
       }),
+      // anti-domination sampling: at most 50 docs per registrable domain,
+      // picked by content-addressed MD5 rank (rerun-stable; WindowGroupLimit
+      // keeps a mega-domain from materializing past the cap)
+      "q_domain_cap" -> ((s: SparkSession, d: String) =>
+        WebOps.domainCapSample(
+            WebOps.parseUrls(t(s, d, "documents")
+              .select(col("doc_id"), expr(urlSynthSql).as("url")), col("url")),
+            cap = 50, col("doc_id"))
+          .select(col("doc_id"), col("domain"), col("rk"))),
+      // robots.txt compliance: parse wildcard-agent disallow groups from
+      // raw robots bodies, then broadcast-anti-join the frontier on
+      // (host, path-prefix) — politeness filtering as a plan, no UDFs
+      "x_robots_filter" -> ((s: SparkSession, _: String) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val rules = WebOps.parseRobots(robotsFixture(s), col("host"), col("content"))
+        val urls = sp.createDataset(robotsUrls).toDF("doc_id", "url")
+        WebOps.robotsFilter(WebOps.parseUrls(urls, col("url")), rules)
+          .select(col("doc_id"), col("host"), col("url_norm"))
+      }),
       // link-graph degrees (popularity prior): union + ONE node-keyed
       // aggregation with map-side partial sums
       "q_graph_degrees" -> ((s: SparkSession, d: String) => {
@@ -1198,6 +1218,42 @@ object SparkEntry {
       }))
 
     (extraction ++ relational ++ training).toMap
+  }
+
+  /** robots.txt fixture covering the group semantics: an agent-specific
+    * group (not ours), a multi-agent star group, an allow-all empty
+    * Disallow, a comment line, uppercase directives, and a root block. */
+  private def robotsFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("example.com",
+        "# site robots\nUser-agent: googlebot\nDisallow: /private\n\n" +
+          "User-agent: *\nUser-agent: testbot\nDisallow: /admin\nDISALLOW: /tmp/\nDisallow:\n\n" +
+          "User-agent: otherbot\nDisallow: /"),
+      ("blocked.org", "User-agent: *\nDisallow: /"))
+      .toDF("host", "content")
+  }
+
+  /** Frontier URLs for x_robots_filter; the comments are the ground truth
+    * the VALUES oracle encodes. */
+  private val robotsUrls: Seq[(Long, String)] = Seq(
+    (1L, "https://example.com/admin/panel"), // dropped: star-group /admin
+    (2L, "https://example.com/private/x"),   // kept: /private is googlebot-only
+    (3L, "https://example.com/tmp/file"),    // dropped: star-group /tmp/
+    (4L, "https://example.com/tmp"),         // kept: '/tmp/' does not prefix-match '/tmp'
+    (5L, "https://example.com/index.html"),  // kept
+    (6L, "https://blocked.org/anything"),    // dropped: root disallow
+    (7L, "https://other.net/admin"))         // kept: no rules for this host
+
+  private def robotsOracle: String = {
+    val kept = Seq(
+      (2L, "example.com", "https://example.com/private/x"),
+      (4L, "example.com", "https://example.com/tmp"),
+      (5L, "example.com", "https://example.com/index.html"),
+      (7L, "other.net", "https://other.net/admin"))
+    val rows = kept.map { case (i, h, u) => s"($i, ${sqlStr(h)}, ${sqlStr(u)})" }
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, host, url_norm FROM " +
+      s"(VALUES ${rows.mkString(", ")}) AS t(doc_id, host, url_norm)"
   }
 
   /** By-construction oracle for the WARC leg: both storage variants yield
@@ -1550,6 +1606,12 @@ object SparkEntry {
           "CAST(COUNT(*) AS BIGINT) AS n_dupes FROM parsed GROUP BY url_norm"),
       "q_domain_blocklist" ->
         (urlParseOracleCte + "\nSELECT doc_id, host, domain FROM parsed WHERE domain <> 'example.org'"),
+      // same md5 hex, same lexicographic order, same doc_id tiebreak →
+      // the capped sample is identical row-for-row across engines
+      "q_domain_cap" ->
+        (urlParseOracleCte + "\nSELECT doc_id, domain, rk FROM (SELECT doc_id, domain, " +
+          "ROW_NUMBER() OVER (PARTITION BY domain ORDER BY md5(doc_id::VARCHAR || ':cap'), doc_id) AS rk " +
+          "FROM parsed) t WHERE rk <= 50"),
       "q_term_doc_freq" ->
         ("SELECT term, CAST(COUNT(*) AS BIGINT) AS tf, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM " +
           "(SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents) t " +
@@ -1590,7 +1652,8 @@ object SparkEntry {
       "x_html_images" -> htmlImagesOracle,
       "x_html_links" -> htmlLinksOracle,
       "x_html_anchors" -> htmlAnchorsOracle,
-      "x_warc_extract" -> warcOracle)
+      "x_warc_extract" -> warcOracle,
+      "x_robots_filter" -> robotsOracle)
     (extraction ++ sql).toMap
   }
 

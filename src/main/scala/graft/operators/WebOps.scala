@@ -62,4 +62,68 @@ object WebOps {
   def filterBlockedDomains(parsed: DataFrame, blocked: DataFrame): DataFrame =
     parsed.join(broadcast(blocked.select(col(blocked.columns.head).as("domain"))),
       Seq("domain"), "left_anti")
+
+  /** Per-domain document cap (anti-domination sampling): keep at most
+    * `cap` docs per registrable domain, selected by a content-addressed
+    * MD5 rank — deterministic, repartition- and rerun-stable, and exactly
+    * replicable in oracle SQL (same md5 hex, same lexicographic order,
+    * doc_id tiebreak). One shuffle keyed on domain; the `rk <= cap`
+    * filter directly over row_number lets Spark's WindowGroupLimit rule
+    * keep only `cap` rows per key flowing out of each sort — a skewed
+    * mega-domain never materializes past the limit. */
+  def domainCapSample(parsed: DataFrame, cap: Int, id: Column,
+                      salt: String = ":cap"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("domain"))
+      .orderBy(md5(concat(id.cast("string"), lit(salt))), id)
+    parsed.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= cap)
+  }
+
+  /** Parse robots.txt contents into (host, path_prefix) disallow rules
+    * for the wildcard agent — the crawl-politeness dimension table.
+    * Group semantics per the robots exclusion standard: consecutive
+    * `User-agent` lines open a group; a `Disallow` rule belongs to the
+    * nearest preceding group and applies to us iff that group names `*`.
+    * Empty Disallow (allow-all) yields no rule. `Allow:` precedence and
+    * `$`/`*` wildcards are out of scope (documented subset: prefix rules).
+    *
+    * Whole parse is explode + two windows keyed on host — robots files
+    * are small and one-per-host, so per-key state is a few hundred lines;
+    * everything is codegen'd expressions, no UDFs, and the oracle
+    * replicates it line for line. */
+  def parseRobots(robots: DataFrame, host: Column, content: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("host")).orderBy(col("ln"))
+    val cls = robots
+      .select(host.as("host"), posexplode(split(content, "\n")).as(Seq("ln", "raw")))
+      .withColumn("line", trim(regexp_replace(col("raw"), "#.*", "")))
+      .withColumn("is_ua", lower(col("line")).startsWith("user-agent:"))
+      .withColumn("ua", when(col("is_ua"), trim(expr("substring(line, 12)"))))
+      .withColumn("dis", when(lower(col("line")).startsWith("disallow:"),
+        trim(expr("substring(line, 10)"))))
+    val grouped = cls
+      .withColumn("new_grp",
+        col("is_ua") && !coalesce(lag(col("is_ua"), 1).over(w), lit(false)))
+      .withColumn("grp", sum(when(col("new_grp"), 1).otherwise(0)).over(w))
+    val starGroups = grouped.where(col("ua") === "*")
+      .select(col("host"), col("grp")).distinct()
+    grouped.where(col("dis").isNotNull && col("dis") =!= "")
+      .join(starGroups, Seq("host", "grp"))
+      .select(col("host"), col("dis").as("path_prefix"))
+      .distinct()
+  }
+
+  /** Drop URLs disallowed by a robots rule for their host (prefix match
+    * on the path+query). Rules tables are host-cardinality — tiny next
+    * to a 10^12-row frontier — so the anti-join broadcasts the rules and
+    * nothing shuffles; the prefix test rides the hash join's extra
+    * condition. Requires [[parseUrls]] columns (`host`, `url_norm`). */
+  def robotsFilter(parsed: DataFrame, rules: DataFrame): DataFrame = {
+    val path = regexp_extract(col("url_norm"), "^[a-z0-9+.-]+://[^/?#]*(.*)$", 1)
+    val withPath = parsed.withColumn("path", path)
+    val r = broadcast(rules.select(col("host").as("r_host"), col("path_prefix")))
+    withPath.join(r,
+        withPath("host") === r("r_host") && withPath("path").startsWith(r("path_prefix")),
+        "left_anti")
+      .drop("path")
+  }
 }

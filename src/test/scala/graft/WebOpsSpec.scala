@@ -71,4 +71,56 @@ class WebOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L))
   }
+
+  test("domainCapSample: cap enforced per domain, ranks dense, repartition-stable") {
+    val sp = spark; import sp.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 4 == 0) s"https://big.example.com/$i" else s"https://small.example.org/$i"))
+      .toDF("doc_id", "url")
+    val parsed = WebOps.parseUrls(docs, col("url"))
+    val got = WebOps.domainCapSample(parsed, cap = 5, col("doc_id"))
+      .select("domain", "doc_id", "rk").as[(String, Long, Long)].collect()
+    val byDomain = got.groupBy(_._1)
+    assert(byDomain.keySet == Set("example.com", "example.org"))
+    byDomain.values.foreach { rows =>
+      assert(rows.length == 5)
+      assert(rows.map(_._3).sorted.toSeq == (1L to 5L)) // dense ranks
+    }
+    // determinism: same selection regardless of physical layout
+    val again = WebOps.domainCapSample(parsed.repartition(7), cap = 5, col("doc_id"))
+      .select("domain", "doc_id", "rk").as[(String, Long, Long)].collect()
+    assert(got.toSet == again.toSet)
+  }
+
+  test("parseRobots: group semantics, comments, case, empty disallow") {
+    val sp = spark; import sp.implicits._
+    val robots = Seq(
+      ("a.com",
+        "# hi\nUser-agent: googlebot\nDisallow: /g-only\n\n" +
+          "User-agent: *\nUser-agent: testbot\nDisallow: /admin\nDISALLOW: /tmp/\nDisallow:\n\n" +
+          "User-agent: otherbot\nDisallow: /other-only"),
+      ("b.com", "User-agent: *\nDisallow: /"),
+      ("c.com", "User-agent: crawler\nDisallow: /x")) // no star group at all
+      .toDF("host", "content")
+    val rules = WebOps.parseRobots(robots, col("host"), col("content"))
+      .as[(String, String)].collect().toSet
+    assert(rules == Set(("a.com", "/admin"), ("a.com", "/tmp/"), ("b.com", "/")))
+  }
+
+  test("robotsFilter: prefix boundaries, root block, unknown host kept") {
+    val sp = spark; import sp.implicits._
+    val rules = Seq(("a.com", "/admin"), ("a.com", "/tmp/"), ("b.com", "/"))
+      .toDF("host", "path_prefix")
+    val urls = Seq(
+      (1L, "https://a.com/admin/panel"), // dropped
+      (2L, "https://a.com/administrator"), // dropped too: plain prefix rule
+      (3L, "https://a.com/tmp"),         // kept: '/tmp/' ≠ prefix of '/tmp'
+      (4L, "https://a.com/ok"),          // kept
+      (5L, "https://b.com/"),            // dropped: root
+      (6L, "https://z.com/admin"))       // kept: no rules for host
+      .toDF("doc_id", "url")
+    val kept = WebOps.robotsFilter(WebOps.parseUrls(urls, col("url")), rules)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 6L))
+  }
 }
