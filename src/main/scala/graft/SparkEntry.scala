@@ -972,6 +972,10 @@ object SparkEntry {
       // exact integer core of TF-IDF: tf + df per term, vocabulary-sized
       "q_term_doc_freq" -> ((s: SparkSession, d: String) =>
         TrainingOps.termDocFreq(t(s, d, "documents"))),
+      // whole inverted index hash-compared: sorted comma-joined postings
+      // are deterministic and cross-engine exact; df cap = stopword cut
+      "q_inverted_index" -> ((s: SparkSession, d: String) =>
+        TrainingOps.invertedIndex(t(s, d, "documents"), maxDf = 400L)),
       "q_normalize" -> ((s: SparkSession, d: String) =>
         TrainingOps.normalize(t(s, d, "documents"))),
       // the composed normalize→dedup→quality→sample cleaning pipeline
@@ -1126,6 +1130,24 @@ object SparkEntry {
           .awaitTermination()
         sp.read.parquet(s"$tmp/out/spans_out")
           .select(col("doc_id"), col("order").as("ord"), col("kind"), col("text"), col("media_ref"))
+      }),
+      // continuous crawl-archive ingestion: two waves of WARC files through
+      // the checkpointed stream — wave 2 only processes the NEW archives
+      "x_stream_warc" -> ((s: SparkSession, _: String) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-swarc").toString
+        def wave(files: Seq[(String, Array[Byte])]): Unit = {
+          val df = sp.createDataset(files).toDF("warc_ref", "bytes")
+          df.write.mode("append").parquet(s"$tmp/in")
+          graft.streaming.StreamingExtract
+            .startWarc(sp, s"$tmp/in", s"$tmp/out", df.schema)
+            .awaitTermination()
+        }
+        wave(Seq(("w1_plain", WarcBuilder.plain)))
+        wave(Seq(("w2_gzip", WarcBuilder.gzipped), ("w3_bad", WarcBuilder.malformed)))
+        sp.read.parquet(s"$tmp/out/spans_out")
+          .select(col("doc_id"), col("ord"), col("kind"), col("text"), col("media_ref"))
       }),
       // resume/crash-safety under the hard gate: run-1 commits a subset,
       // run-2 sees the full doc set. The committed union must hold exactly
@@ -1616,6 +1638,11 @@ object SparkEntry {
         ("SELECT term, CAST(COUNT(*) AS BIGINT) AS tf, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM " +
           "(SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents) t " +
           "WHERE term <> '' GROUP BY term"),
+      "q_inverted_index" ->
+        ("SELECT term, df, postings FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df, " +
+          "string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings FROM " +
+          "(SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents) t " +
+          "WHERE term <> '' GROUP BY term) x WHERE df <= 400"),
       "q_vocab_topk" ->
         ("SELECT term, n FROM (SELECT term, count(*)::BIGINT AS n FROM " +
           "(SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents) t0 " +
@@ -1653,6 +1680,7 @@ object SparkEntry {
       "x_html_links" -> htmlLinksOracle,
       "x_html_anchors" -> htmlAnchorsOracle,
       "x_warc_extract" -> warcOracle,
+      "x_stream_warc" -> warcOracle,
       "x_robots_filter" -> robotsOracle)
     (extraction ++ sql).toMap
   }

@@ -616,6 +616,25 @@ object TrainingOps {
       .groupBy(col("term"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
 
+  /** Inverted index: term → comma-joined sorted posting list of doc ids
+    * (+ df). The postings string is deterministic and cross-engine exact
+    * (same sort, same join), so the whole index is hash-comparable.
+    * One explode + (term, doc) distinct + one term-keyed aggregation;
+    * output is vocabulary-sized rows with df-bounded lists. High-df terms
+    * make corpus-sized lists — threshold with `maxDf` (stopword cut from
+    * [[termDocFreq]] thinking) so no single aggregation buffer explodes;
+    * dropped terms are exactly the df > maxDf ones, disclosed by the
+    * companion df column contract rather than silently truncated lists. */
+  def invertedIndex(docs: DataFrame, maxDf: Long = 1000000L): DataFrame =
+    docs.select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf_d"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("postings"))
+      .where(col("df") <= maxDf)
+
   /** Per-document top-k TF-IDF terms (score = tf · ln(N/df)). The float
     * log makes this API + spec-tested, not hash-compared (see
     * `pageRankFixedPoint` for the same reasoning); the integer inputs are

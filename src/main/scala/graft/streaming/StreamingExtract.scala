@@ -36,4 +36,28 @@ object StreamingExtract {
       }
       .start()
   }
+
+  /** Continuous crawl-archive ingestion: WARC files (`warc_ref`, `bytes`)
+    * landing under `warcDir` are exploded and extracted per micro-batch
+    * through the same `WarcOps.extractWarc` path as batch — inside
+    * `foreachBatch` the batch is a static frame, so the container
+    * explode's persist and the kernel's skew routing apply unchanged
+    * (batch ≡ stream by construction, asserted in StreamingSpec). */
+  def startWarc(spark: SparkSession, warcDir: String, outDir: String,
+                schema: org.apache.spark.sql.types.StructType,
+                trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val warcStream = spark.readStream.schema(schema).parquet(warcDir)
+    warcStream.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        implicit val s: SparkSession = batch.sparkSession
+        graft.operators.WarcOps
+          .extractWarc(batch, s.sessionState.conf.numShufflePartitions)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(s"$outDir/spans_out")
+        ()
+      }
+      .start()
+  }
 }

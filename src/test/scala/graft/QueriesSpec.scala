@@ -439,6 +439,18 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 2L, 4L, 0.5), (2L, 3L, 3L, 1.0)), s"got $got")
   }
 
+  test("invertedIndex: numeric-sorted postings, df cap, multi-occurrence collapses") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((2L, "b b c"), (10L, "a b"), (1L, "a stop"), (3L, "stop"), (11L, "stop"))
+      .toDF("doc_id", "text")
+    val got = operators.TrainingOps.invertedIndex(docs, maxDf = 2)
+      .as[(String, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // "b" occurs twice in doc 2 → one posting; 2 < 10 numerically (not "10"<"2")
+    assert(got == Map("a" -> ((2L, "1,10")), "b" -> ((2L, "2,10")), "c" -> ((1L, "2"))))
+    // "stop" has df 3 > 2 → cut
+    assert(!got.contains("stop"))
+  }
+
   test("tfIdf: hand-computed scores, per-doc top-k, deterministic ties") {
     val sp = spark; import sp.implicits._
     val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c d")).toDF("doc_id", "text")

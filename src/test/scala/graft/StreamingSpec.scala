@@ -207,6 +207,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     })
   }
 
+  test("streaming WARC ingestion equals batch extractWarc row-for-row, two checkpointed waves") {
+    val s = spark
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    val all = Seq(("w1", testkit.WarcBuilder.plain),
+      ("w2", testkit.WarcBuilder.gzipped), ("bad", testkit.WarcBuilder.malformed))
+    val batchRows = operators.WarcOps.extractWarc(all.toDF("warc_ref", "bytes"), 4)
+      .as[(String, Int, String, String, String)].collect().sorted.toSeq
+    val base = java.nio.file.Files.createTempDirectory("stream-warc").toString
+    val schema = all.toDF("warc_ref", "bytes").schema
+    def wave(files: Seq[(String, Array[Byte])]): Unit = {
+      files.toDF("warc_ref", "bytes").write.mode("append").parquet(s"$base/in")
+      streaming.StreamingExtract.startWarc(s, s"$base/in", s"$base/out", schema)
+        .awaitTermination(120000)
+    }
+    wave(all.take(1)); wave(all.drop(1))
+    val streamRows = s.read.parquet(s"$base/out/spans_out")
+      .select("doc_id", "ord", "kind", "text", "media_ref")
+      .as[(String, Int, String, String, String)].collect().sorted.toSeq
+    assert(streamRows == batchRows)
+    // exactly-once: wave 2 must not have re-emitted wave 1's archive
+    assert(streamRows.size == batchRows.size)
+  }
+
   test("two file waves, checkpointed, exactly-once output") {
     val s = spark
     import s.implicits._
