@@ -89,7 +89,11 @@ object SparkEntry {
     // HTML main-content leg (north rule "HTML boilerplate strip ... DOM
     // heuristics"): same pipeline, content-sniffed dispatch in the kernel
     "x_html_main" -> hx("h01_article", "h02_density", "h05_images"),
-    "x_html_markup" -> hx("h03_markup", "h04_structure"))
+    "x_html_markup" -> hx("h03_markup", "h04_structure"),
+    // charset sniffing (BOM + meta prescan): real crawls are ~10-15%
+    // non-UTF-8 — a latin-1 page and a BOM'd UTF-16 page must extract
+    // their accented/Greek text intact through the same kernel
+    "x_html_charset" -> hx("h06_latin1", "h07_utf16"))
 
   private def hx(names: String*): Seq[PdfBuilder.Fixture] = {
     val all = HtmlBuilder.all.map(f => f.name -> f).toMap
@@ -1224,6 +1228,18 @@ object SparkEntry {
           .select(col("media_ref"), posexplode(graft.functions.PdfFunctions.htmlAnchors(col("bytes"))).as(Seq("pos", "a")))
           .select(col("media_ref"), col("pos"), col("a._1").as("href"), col("a._2").as("anchor_text"))
       }),
+      // head-level document metadata: title + meta description (entity-
+      // decoded, charset-aware) — the per-page signals a training pipeline
+      // stores alongside main content
+      "x_html_meta" -> ((s: SparkSession, _: String) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val fs = hx("h01_article", "h05_images", "h06_latin1")
+        sp.createDataset(fs.map(f => (f.name, f.bytes))).toDF("media_ref", "bytes")
+          .select(col("media_ref"),
+            graft.functions.PdfFunctions.htmlDocMeta(col("bytes")).as("m"))
+          .select(col("media_ref"), col("m._1").as("title"), col("m._2").as("description"))
+      }),
       // WARC crawl-archive ingestion: container explode (one flatMap pass,
       // streaming per-record parse) feeding the SAME content-sniffed
       // extraction kernel. Plain and per-record-gzip archives must agree;
@@ -1240,6 +1256,16 @@ object SparkEntry {
       }))
 
     (extraction ++ relational ++ training).toMap
+  }
+
+  /** Hand-derived (title, description) ground truth for x_html_meta. */
+  private def htmlMetaOracle: String = {
+    val rows = Seq(
+      ("h01_article", "Site — Title", ""),
+      ("h05_images", "", ""),
+      ("h06_latin1", "Café du Coin", "Le petit café — menu & horaires"))
+      .map { case (r, t, d) => s"(${sqlStr(r)}, ${sqlStr(t)}, ${sqlStr(d)})" }
+    s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(media_ref, title, description)"
   }
 
   /** robots.txt fixture covering the group semantics: an agent-specific
@@ -1681,7 +1707,8 @@ object SparkEntry {
       "x_html_anchors" -> htmlAnchorsOracle,
       "x_warc_extract" -> warcOracle,
       "x_stream_warc" -> warcOracle,
-      "x_robots_filter" -> robotsOracle)
+      "x_robots_filter" -> robotsOracle,
+      "x_html_meta" -> htmlMetaOracle)
     (extraction ++ sql).toMap
   }
 

@@ -47,6 +47,13 @@ object PdfFunctions {
   def htmlAnchors(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     udf(htmlAnchorsF).apply(c)
 
+  private val htmlDocMetaF = (bytes: Array[Byte]) =>
+    if (bytes == null) null else graft.html.Html.docMeta(bytes)
+
+  /** Column form of the head-metadata extractor: (title, description). */
+  def htmlDocMeta(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udf(htmlDocMetaF).apply(c)
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("pdf2txt", udf(pdf2txtF))
     spark.udf.register("pdf2txt_safe", udf(pdf2txtSafeF))
@@ -55,5 +62,6 @@ object PdfFunctions {
     spark.udf.register("html_image_refs", udf(htmlImageRefsF))
     spark.udf.register("html_link_refs", udf(htmlLinkRefsF))
     spark.udf.register("html_anchors", udf(htmlAnchorsF))
+    spark.udf.register("html_doc_meta", udf(htmlDocMetaF))
   }
 }

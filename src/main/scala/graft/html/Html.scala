@@ -99,6 +99,18 @@ object Html {
           bytes(i + 3) == 'F' && bytes(i + 4) == '-') return false
       i += 1
     }
+    // UTF-16 pages (BOM-led) — sniff on the decoded prefix
+    if (n >= 4 && (((bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff) ||
+        ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe))) {
+      val cs = if ((bytes(0) & 0xff) == 0xfe) java.nio.charset.StandardCharsets.UTF_16BE
+        else java.nio.charset.StandardCharsets.UTF_16LE
+      val prefix = new String(bytes, 2, math.min(n - 2, 64), cs)
+      val t = prefix.dropWhile(c => c == ' ' || c == '\t' || c == '\n' || c == '\r')
+      return t.length >= 2 && t.charAt(0) == '<' && {
+        val c = t.charAt(1)
+        c == '!' || c == '?' || c.isLetter || c == '/'
+      }
+    }
     i = 0
     if (n >= 3 && (bytes(0) & 0xff) == 0xef && (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf)
       i = 3 // UTF-8 BOM
@@ -362,10 +374,130 @@ object Html {
     }
   }
 
+  // -------------------------------------------------------------------
+  // byte → string: charset sniffing (HTML5 prescan shape)
+  // -------------------------------------------------------------------
+
+  private val CharsetRe =
+    java.util.regex.Pattern.compile("charset\\s*=\\s*[\"']?([A-Za-z0-9_.:+-]+)",
+      java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  /** Decode page bytes to text the way a browser's prescan does: a BOM
+    * (UTF-8 / UTF-16LE / UTF-16BE) wins outright; otherwise a `charset=`
+    * declaration inside a `<meta` tag in the first 1024 bytes (the HTML5
+    * prescan window — servers put it there precisely so clients can stop
+    * early); otherwise UTF-8. Unknown/unsupported charset names fall back
+    * to UTF-8 rather than erroring — at corpus scale a bogus declaration
+    * is data. Real crawl corpora are only ~85-90% UTF-8, so this is a
+    * correctness requirement for the HTML leg, not polish. */
+  def decode(bytes: Array[Byte]): String = {
+    val n = bytes.length
+    if (n >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
+      return new String(bytes, 2, n - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+    if (n >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfe)
+      return new String(bytes, 2, n - 2, java.nio.charset.StandardCharsets.UTF_16LE)
+    if (n >= 3 && (bytes(0) & 0xff) == 0xef && (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf)
+      return new String(bytes, 3, n - 3, java.nio.charset.StandardCharsets.UTF_8)
+    val window = new String(bytes, 0, math.min(n, 1024),
+      java.nio.charset.StandardCharsets.ISO_8859_1) // byte-transparent prescan
+    val lw = window.toLowerCase
+    var cs: java.nio.charset.Charset = java.nio.charset.StandardCharsets.UTF_8
+    var i = lw.indexOf("<meta")
+    var found = false
+    while (i >= 0 && !found) {
+      val end = lw.indexOf('>', i)
+      val tag = if (end >= 0) window.substring(i, end) else window.substring(i)
+      val m = CharsetRe.matcher(tag)
+      if (m.find()) {
+        found = true
+        try cs = java.nio.charset.Charset.forName(m.group(1))
+        catch { case _: Exception => () } // bogus name → keep UTF-8
+      }
+      i = lw.indexOf("<meta", i + 1)
+    }
+    new String(bytes, cs)
+  }
+
+  // -------------------------------------------------------------------
+  // document metadata (head-level signals: title, meta description)
+  // -------------------------------------------------------------------
+
+  /** Decode character references and collapse whitespace runs — the
+    * attribute/title flavor of the tokenizer's text handling. */
+  private def decodeInline(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        var j = i + 1
+        if (j < n && s.charAt(j) == '#') {
+          j += 1
+          val hex = j < n && (s.charAt(j) == 'x' || s.charAt(j) == 'X')
+          if (hex) j += 1
+          val start = j
+          while (j < n && Character.digit(s.charAt(j), if (hex) 16 else 10) >= 0) j += 1
+          if (j > start && j - start <= 7 && j < n && s.charAt(j) == ';') {
+            val cp = Integer.parseInt(s.substring(start, j), if (hex) 16 else 10)
+            if (Character.isValidCodePoint(cp)) sb.append(Character.toChars(cp))
+            i = j + 1
+          } else { sb.append('&'); i += 1 }
+        } else {
+          val start = j
+          while (j < n && s.charAt(j).isLetterOrDigit && j - start < 10) j += 1
+          val name = s.substring(start, j)
+          if (j < n && s.charAt(j) == ';' && entities.contains(name)) {
+            sb.append(entities(name)); i = j + 1
+          } else { sb.append('&'); i += 1 }
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString.split("\\s+").filter(_.nonEmpty).mkString(" ")
+  }
+
+  /** (title, meta description) — the head-level metadata a training
+    * pipeline keeps alongside main content (title is a quality/topic
+    * signal; description is the page's own summary). Entity-decoded,
+    * whitespace-collapsed; empty strings when absent. */
+  def docMeta(bytes: Array[Byte]): (String, String) = {
+    val html = decode(bytes)
+    val lw = html.toLowerCase
+    val title = {
+      val o = lw.indexOf("<title")
+      if (o < 0) ""
+      else {
+        val gt = lw.indexOf('>', o)
+        val close = if (gt >= 0) lw.indexOf("</title", gt) else -1
+        if (gt >= 0 && close >= 0) decodeInline(html.substring(gt + 1, close)) else ""
+      }
+    }
+    val desc = {
+      var i = lw.indexOf("<meta")
+      var out = ""
+      while (i >= 0 && out.isEmpty) {
+        val end = lw.indexOf('>', i)
+        val tagLw = if (end >= 0) lw.substring(i, end) else lw.substring(i)
+        if (tagLw.contains("name=\"description\"") || tagLw.contains("name='description'") ||
+            tagLw.matches("(?s).*name\\s*=\\s*description[\\s/>].*")) {
+          val tag = if (end >= 0) html.substring(i, end) else html.substring(i)
+          val m = java.util.regex.Pattern
+            .compile("content\\s*=\\s*(\"([^\"]*)\"|'([^']*)')",
+              java.util.regex.Pattern.CASE_INSENSITIVE).matcher(tag)
+          if (m.find())
+            out = decodeInline(Option(m.group(2)).getOrElse(m.group(3)))
+        }
+        i = lw.indexOf("<meta", i + 1)
+      }
+      out
+    }
+    (title, desc)
+  }
+
   /** Main content: kept blocks in document order, one line per block
     * (matches the PDF kernel's line-per-unit contract). */
   def html2txt(bytes: Array[Byte]): String = {
-    val parsed = parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    val parsed = parse(decode(bytes))
     val sb = new java.lang.StringBuilder
     parsed.blocks.foreach { b => if (keep(b)) sb.append(b.text).append('\n') }
     sb.toString
@@ -373,13 +505,13 @@ object Html {
 
   /** In-content image references (appearance order, drop contexts excluded). */
   def imageRefs(bytes: Array[Byte]): Seq[String] =
-    parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)).imageRefs
+    parse(decode(bytes)).imageRefs
 
   /** In-content link hrefs (appearance order, drop contexts excluded —
     * the outlink set a web-scale crawl frontier or link-graph stage
     * consumes; nav/footer links are boilerplate and are not emitted). */
   def linkRefs(bytes: Array[Byte]): Seq[String] =
-    parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)).linkRefs
+    parse(decode(bytes)).linkRefs
 
   /** In-content (href, anchor text) pairs — the labeled edge list a
     * link-graph / anchor-text-index stage consumes (anchor text is the
@@ -387,7 +519,7 @@ object Html {
     * entity-decoded, whitespace-collapsed content of the outermost
     * anchor element, trimmed. */
   def anchors(bytes: Array[Byte]): Seq[(String, String)] = {
-    val p = parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    val p = parse(decode(bytes))
     p.linkRefs.zip(p.anchorTexts)
   }
 }

@@ -136,5 +136,36 @@ object HtmlBuilder {
     "seven", "eight", "nine", "ten")
   val h05ExpectedAnchorTexts: Seq[String] = Seq("figures")
 
-  def all: Seq[Fixture] = Seq(h01Article, h02Density, h03Markup, h04Structure, h05Images)
+  /** h06: ISO-8859-1 page declaring its charset in a meta http-equiv tag
+    * (the HTML5 prescan path) — every accented char is a single high byte
+    * that UTF-8 decoding would mangle into U+FFFD. */
+  def h06Latin1: Fixture = {
+    val html =
+      """<html><head><meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1"><title>Caf&eacute; du Coin</title><meta name="description" content="Le petit caf&eacute; &mdash; menu &amp; horaires"></head>
+        |<body><article><h1>Résumé détaillé</h1>
+        |<p>Le café est déjà prêt et la journée commence à peine pour nous tous ici.</p>
+        |</article></body></html>
+        |""".stripMargin
+    val expected =
+      "Résumé détaillé\n" +
+      "Le café est déjà prêt et la journée commence à peine pour nous tous ici.\n"
+    Fixture("h06_latin1", html.getBytes("ISO-8859-1"), expected)
+  }
+
+  /** h07: UTF-16LE page with BOM (no meta declaration — the BOM decides). */
+  def h07Utf16: Fixture = {
+    val html =
+      """<html><head><title>Unicode</title></head><body><article><h1>Οδηγός Σπαρκ</h1>
+        |<p>Η εξαγωγή κειμένου δουλεύει σωστά ακόμη και με δεκαέξι δυαδικά ψηφία ανά χαρακτήρα εδώ.</p>
+        |</article></body></html>
+        |""".stripMargin
+    val expected =
+      "Οδηγός Σπαρκ\n" +
+      "Η εξαγωγή κειμένου δουλεύει σωστά ακόμη και με δεκαέξι δυαδικά ψηφία ανά χαρακτήρα εδώ.\n"
+    val bom = Array[Byte](0xff.toByte, 0xfe.toByte)
+    Fixture("h07_utf16", bom ++ html.getBytes("UTF-16LE"), expected)
+  }
+
+  def all: Seq[Fixture] =
+    Seq(h01Article, h02Density, h03Markup, h04Structure, h05Images, h06Latin1, h07Utf16)
 }

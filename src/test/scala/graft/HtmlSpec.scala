@@ -129,4 +129,37 @@ class HtmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length == want.length)
     got.zip(want).foreach { case (g, w) => assert(g == w, s"got $g want $w") }
   }
+
+  test("decode: BOMs win, meta prescan declares latin-1/gbk, bogus names fall back") {
+    // latin-1 with meta http-equiv: high bytes decode to accents, not U+FFFD
+    assert(Html.html2txt(HtmlBuilder.h06Latin1.bytes) == HtmlBuilder.h06Latin1.expected)
+    // same bytes decoded as UTF-8 would mangle é (0xE9 is an invalid UTF-8 lead)
+    assert(new String(HtmlBuilder.h06Latin1.bytes,
+      java.nio.charset.StandardCharsets.UTF_8).contains('�'))
+    // UTF-16LE BOM
+    assert(Html.html2txt(HtmlBuilder.h07Utf16.bytes) == HtmlBuilder.h07Utf16.expected)
+    // UTF-16BE BOM
+    val be = Array[Byte](0xfe.toByte, 0xff.toByte) ++
+      "<p>big endian page with ten words of prose to keep here</p>".getBytes("UTF-16BE")
+    assert(Html.looksHtml(be))
+    assert(Html.html2txt(be) == "big endian page with ten words of prose to keep here\n")
+    // GBK via meta charset (JDK ships the codec)
+    val gbk = ("<html><head><meta charset=\"gbk\"></head><body><p>" +
+      "中文 页面 的 文本 提取 需要 正确 的 字符 集合 解码 过程</p></body></html>").getBytes("GBK")
+    assert(Html.html2txt(gbk) == "中文 页面 的 文本 提取 需要 正确 的 字符 集合 解码 过程\n")
+    // bogus charset name → UTF-8 fallback, no exception
+    val bogus = "<html><head><meta charset=\"no-such-cs\"></head><body><p>plain ascii prose with at least ten words in it total</p></body></html>".getBytes("UTF-8")
+    assert(Html.html2txt(bogus).startsWith("plain ascii"))
+  }
+
+  test("docMeta: title + description entity-decoded, absent fields empty") {
+    assert(Html.docMeta(HtmlBuilder.h01Article.bytes) == (("Site — Title", "")))
+    assert(Html.docMeta(HtmlBuilder.h05Images.bytes) == (("", "")))
+    assert(Html.docMeta(HtmlBuilder.h06Latin1.bytes) ==
+      (("Café du Coin", "Le petit café — menu & horaires")))
+    // whitespace collapse + numeric entity + single quotes
+    val h = ("<html><head><title>  A &#66;\n title </title>" +
+      "<meta name='description' content='d&amp;e'></head></html>").getBytes("UTF-8")
+    assert(Html.docMeta(h) == (("A B title", "d&e")))
+  }
 }
