@@ -132,6 +132,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"line text in the frequency aggregation: $l"))
   }
 
+  test("domain cap sample: Partial WindowGroupLimit caps rows BEFORE the exchange") {
+    val df = SparkEntry.queries("q_domain_cap")(spark, sfDir)
+    val p = plan(df)
+    // map-side cap: at most `cap` rows per domain per input partition cross
+    // the shuffle — a mega-domain never materializes past the limit
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.linesIterator.exists(l => l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"no Partial (pre-exchange) WindowGroupLimit:\n$p")
+  }
+
+  test("robots filter: rules broadcast, frontier never shuffles") {
+    val df = SparkEntry.queries("x_robots_filter")(spark, sfDir)
+    df.collect() // finalize AQE
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin") && l.contains("LeftAnti")), p)
+  }
+
   test("dedup-vs-prior: every exchange carries hash keys, text never shuffles") {
     val df = SparkEntry.queries("q_dedup_vs_prior")(spark, sfDir)
     df.collect()
