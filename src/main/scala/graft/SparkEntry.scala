@@ -1228,6 +1228,32 @@ object SparkEntry {
           .select(col("media_ref"), posexplode(graft.functions.PdfFunctions.htmlAnchors(col("bytes"))).as(Seq("pos", "a")))
           .select(col("media_ref"), col("pos"), col("a._1").as("href"), col("a._2").as("anchor_text"))
       }),
+      // crawl-frontier seeding: sitemap <loc> discovery (urlset +
+      // sitemapindex), XML entities unescaped, document order kept
+      "x_sitemap" -> ((s: SparkSession, _: String) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val sm = sp.createDataset(Seq(
+          ("example.com",
+            "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+              "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+              "<url><loc>https://example.com/</loc><lastmod>2026-01-01</lastmod></url>\n" +
+              "<url><loc> https://example.com/a?x=1&amp;y=2 </loc></url>\n" +
+              "<url><loc>https://example.com/b</loc></url>\n</urlset>"),
+          ("example.org",
+            "<?xml version=\"1.0\"?><sitemapindex>" +
+              "<sitemap><loc>https://example.org/sitemap1.xml</loc></sitemap>" +
+              "<sitemap><loc>https://example.org/sitemap2.xml</loc></sitemap></sitemapindex>")))
+          .toDF("host", "content")
+        WebOps.parseSitemaps(sm, col("host"), col("content"))
+      }),
+      // deterministic training mix: exact-rational per-source keep
+      // fractions as a plan-literal CASE — one codegen pass, no shuffle
+      "q_mix_sources" -> ((s: SparkSession, d: String) =>
+        TrainingOps.mixSources(t(s, d, "documents"),
+            Map("src0" -> ((1L, 1L)), "src1" -> ((1L, 2L)),
+              "src2" -> ((1L, 4L)), "src3" -> ((3L, 4L))))
+          .select(col("doc_id"), col("source"))),
       // head-level document metadata: title + meta description (entity-
       // decoded, charset-aware) — the per-page signals a training pipeline
       // stores alongside main content
@@ -1708,7 +1734,20 @@ object SparkEntry {
       "x_warc_extract" -> warcOracle,
       "x_stream_warc" -> warcOracle,
       "x_robots_filter" -> robotsOracle,
-      "x_html_meta" -> htmlMetaOracle)
+      "x_html_meta" -> htmlMetaOracle,
+      "x_sitemap" -> ("SELECT * FROM (VALUES " +
+        "('example.com', 'urlset', 0, 'https://example.com/'), " +
+        "('example.com', 'urlset', 1, 'https://example.com/a?x=1&y=2'), " +
+        "('example.com', 'urlset', 2, 'https://example.com/b'), " +
+        "('example.org', 'sitemapindex', 0, 'https://example.org/sitemap1.xml'), " +
+        "('example.org', 'sitemapindex', 1, 'https://example.org/sitemap2.xml')" +
+        ") AS t(host, kind, pos, loc)"),
+      // same md5-hex u32, same CASE rationals, same strict < — row-exact
+      "q_mix_sources" ->
+        ("SELECT doc_id, source FROM documents WHERE " +
+          "CAST('0x' || substr(md5(doc_id::VARCHAR || ':mix'), 1, 8) AS BIGINT) * " +
+          "(CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2 WHEN 'src2' THEN 4 WHEN 'src3' THEN 4 ELSE 1 END) < " +
+          "(CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 1 WHEN 'src2' THEN 1 WHEN 'src3' THEN 3 ELSE 0 END) * 4294967296"))
     (extraction ++ sql).toMap
   }
 

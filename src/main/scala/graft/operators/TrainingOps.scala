@@ -1278,4 +1278,28 @@ object TrainingOps {
       .cast("binary")), 1, 8), 16, 10).cast("long")
     docs.where(u32 * lit(maxWeight) < least(weight.cast("long"), lit(maxWeight)) * lit(4294967296L))
   }
+
+  /** Deterministic corpus mixing: downsample each source to a target
+    * keep-fraction num/den (exact rationals — a training mix is "keep 1/4
+    * of crawl, all of books", not a float) with the same content-addressed
+    * integer keep rule as [[weightedSample]]: keep iff u32·den < num·2^32.
+    * Bitwise reproducible, repartition/rerun-stable, no RNG state. The
+    * fraction table compiles into the plan as a CASE literal (mixes name a
+    * handful of sources), so mixing is one narrow codegen pass — no join,
+    * no shuffle, nothing broadcast. Sources absent from `fractions` drop
+    * (an explicit mix is a whitelist). Requires num ≤ den < 2^31. */
+  def mixSources(docs: DataFrame, fractions: Map[String, (Long, Long)],
+                 salt: String = "mix"): DataFrame = {
+    fractions.foreach { case (s, (n, d)) =>
+      require(n >= 0 && d > 0 && n <= d && d < Int.MaxValue, s"bad fraction for $s: $n/$d") }
+    val u32 = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":" + salt))
+      .cast("binary")), 1, 8), 16, 10).cast("long")
+    // deterministic CASE order (sorted) so the plan is stable run-to-run
+    val sorted = fractions.toSeq.sortBy(_._1)
+    val num = sorted.foldLeft(lit(0L)) { case (acc, (s, (n, _))) =>
+      when(col("source") === s, lit(n)).otherwise(acc) }
+    val den = sorted.foldLeft(lit(1L)) { case (acc, (s, (_, d))) =>
+      when(col("source") === s, lit(d)).otherwise(acc) }
+    docs.where(u32 * den < num * lit(4294967296L))
+  }
 }

@@ -112,6 +112,29 @@ object WebOps {
       .distinct()
   }
 
+  /** Parse sitemap.xml bodies into discovered URLs — the other half of
+    * crawl-frontier seeding next to [[parseRobots]]. Emits one row per
+    * `<loc>` entry: (host, kind, pos, loc) where kind is `urlset` (page
+    * sitemap) or `sitemapindex` (pointer to further sitemaps — the caller
+    * feeds those back into fetching). XML-escaped URLs are unescaped (the
+    * sitemap spec requires entity escaping); `pos` preserves document
+    * order. Pure regexp/codegen expressions over RE2-safe patterns — a
+    * sitemap is flat enough that a real XML parser buys nothing, and the
+    * oracle replicates the exact expressions in SQL. */
+  def parseSitemaps(sitemaps: DataFrame, host: Column, content: Column): DataFrame = {
+    val kind = when(col("_c").contains("<sitemapindex"), lit("sitemapindex"))
+      .otherwise(lit("urlset"))
+    val locs = expr("regexp_extract_all(_c, '<loc>\\\\s*([^<]*?)\\\\s*</loc>', 1)")
+    val unescaped =
+      Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'", "&amp;" -> "&")
+        .foldLeft(col("loc0")) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    sitemaps.select(host.as("host"), content.as("_c"))
+      .withColumn("kind", kind)
+      .select(col("host"), col("kind"), posexplode(locs).as(Seq("pos", "loc0")))
+      .withColumn("loc", unescaped)
+      .select(col("host"), col("kind"), col("pos"), col("loc"))
+  }
+
   /** Drop URLs disallowed by a robots rule for their host (prefix match
     * on the path+query). Rules tables are host-cardinality — tiny next
     * to a 10^12-row frontier — so the anti-join broadcasts the rules and

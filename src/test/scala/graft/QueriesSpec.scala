@@ -439,6 +439,23 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 2L, 4L, 0.5), (2L, 3L, 3L, 1.0)), s"got $got")
   }
 
+  test("mixSources: exact-fraction boundaries, whitelist semantics, repartition-stable") {
+    val sp = spark; import sp.implicits._
+    val docs = (1L to 400L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+    val fr = Map("s0" -> ((1L, 1L)), "s1" -> ((0L, 1L)), "s2" -> ((1L, 2L)))
+    val got = operators.TrainingOps.mixSources(docs, fr)
+      .as[(Long, String)].collect()
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("s0", 0) == 100) // 1/1 keeps everything
+    assert(!bySrc.contains("s1"))           // 0/1 drops everything
+    assert(!bySrc.contains("s3"))           // absent source = dropped (whitelist)
+    val s2 = bySrc.getOrElse("s2", 0)
+    assert(s2 > 20 && s2 < 80, s"s2 kept $s2/100") // ~half, md5-decided
+    val again = operators.TrainingOps.mixSources(docs.repartition(7), fr)
+      .as[(Long, String)].collect()
+    assert(got.toSet == again.toSet)
+  }
+
   test("invertedIndex: numeric-sorted postings, df cap, multi-occurrence collapses") {
     val sp = spark; import sp.implicits._
     val docs = Seq((2L, "b b c"), (10L, "a b"), (1L, "a stop"), (3L, "stop"), (11L, "stop"))

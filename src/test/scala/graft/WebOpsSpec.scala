@@ -107,6 +107,23 @@ class WebOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rules == Set(("a.com", "/admin"), ("a.com", "/tmp/"), ("b.com", "/")))
   }
 
+  test("parseSitemaps: urlset vs index, order, entity unescape (amp last, no double-decode)") {
+    val sp = spark; import sp.implicits._
+    val sm = Seq(
+      ("a.com", "<urlset><url><loc>https://a.com/&amp;x</loc></url>" +
+        "<url><loc>https://a.com/esc?s=&amp;lt;tag&amp;gt;</loc></url></urlset>"),
+      ("b.com", "<sitemapindex><sitemap><loc> https://b.com/s1.xml </loc></sitemap></sitemapindex>"),
+      ("c.com", "<urlset></urlset>")) // no locs → no rows
+      .toDF("host", "content")
+    val got = WebOps.parseSitemaps(sm, col("host"), col("content"))
+      .as[(String, String, Int, String)].collect().toSet
+    assert(got == Set(
+      ("a.com", "urlset", 0, "https://a.com/&x"),
+      // &amp;lt; is the ESCAPED literal "&lt;" — must not double-decode to '<'
+      ("a.com", "urlset", 1, "https://a.com/esc?s=&lt;tag&gt;"),
+      ("b.com", "sitemapindex", 0, "https://b.com/s1.xml")))
+  }
+
   test("robotsFilter: prefix boundaries, root block, unknown host kept") {
     val sp = spark; import sp.implicits._
     val rules = Seq(("a.com", "/admin"), ("a.com", "/tmp/"), ("b.com", "/"))
