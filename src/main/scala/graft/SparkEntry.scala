@@ -1228,6 +1228,28 @@ object SparkEntry {
           .select(col("media_ref"), posexplode(graft.functions.PdfFunctions.htmlAnchors(col("bytes"))).as(Seq("pos", "a")))
           .select(col("media_ref"), col("pos"), col("a._1").as("href"), col("a._2").as("anchor_text"))
       }),
+      // structured data from the DOM: in-content table cells as
+      // (table, row, col, text) — implied </td>/</tr>, entity decode,
+      // nested tables flatten into their cell, nav grids excluded
+      "x_html_tables" -> ((s: SparkSession, _: String) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val t1 = "<html><head><title>T</title></head><body>" +
+          "<nav><table><tr><td>menu</td></tr></table></nav>" +
+          "<p>intro text here</p>" +
+          "<table><thead><tr><th>name</th><th>price &amp; tax</th></tr></thead>" +
+          "<tbody><tr><td>widget<td>9.99</tr>" +
+          "<tr><td><p>multi</p><p>block</p></td><td>3</td></tr></tbody></table>" +
+          "<table><tr><td>second</td><td></td></tr></table></body></html>"
+        val t2 = "<table><tr><td>a<table><tr><td>inner</td></tr></table>b</td></tr>" +
+          "</table><table><td>x</td></table>"
+        sp.createDataset(Seq(("t1", t1.getBytes("UTF-8")), ("t2", t2.getBytes("UTF-8"))))
+          .toDF("media_ref", "bytes")
+          .select(col("media_ref"),
+            explode(graft.functions.PdfFunctions.htmlTables(col("bytes"))).as("c"))
+          .select(col("media_ref"), col("c._1").as("tbl"), col("c._2").as("row"),
+            col("c._3").as("col"), col("c._4").as("cell"))
+      }),
       // crawl-frontier seeding: sitemap <loc> discovery (urlset +
       // sitemapindex), XML entities unescaped, document order kept
       "x_sitemap" -> ((s: SparkSession, _: String) => {
@@ -1247,6 +1269,10 @@ object SparkEntry {
           .toDF("host", "content")
         WebOps.parseSitemaps(sm, col("host"), col("content"))
       }),
+      // Gopher quality rules (Rae et al. 2021): one boolean per published
+      // rule, decided in pure integer comparisons — bitwise cross-engine
+      "q_gopher_quality" -> ((s: SparkSession, d: String) =>
+        TrainingOps.gopherQualityFlags(t(s, d, "documents"))),
       // deterministic training mix: exact-rational per-source keep
       // fractions as a plan-literal CASE — one codegen pass, no shuffle
       "q_mix_sources" -> ((s: SparkSession, d: String) =>
@@ -1735,6 +1761,52 @@ object SparkEntry {
       "x_stream_warc" -> warcOracle,
       "x_robots_filter" -> robotsOracle,
       "x_html_meta" -> htmlMetaOracle,
+      // hand-derived from the two inline fixtures (nav grid skipped, implied
+      // closes, entity decode, intra-cell block boundary = space, nested
+      // table flattens, td-without-tr lands on row 0, empty cell kept)
+      "x_html_tables" -> ("SELECT * FROM (VALUES " +
+        "('t1', 0, 0, 0, 'name'), ('t1', 0, 0, 1, 'price & tax'), " +
+        "('t1', 0, 1, 0, 'widget'), ('t1', 0, 1, 1, '9.99'), " +
+        "('t1', 0, 2, 0, 'multi block'), ('t1', 0, 2, 1, '3'), " +
+        "('t1', 1, 0, 0, 'second'), ('t1', 1, 0, 1, ''), " +
+        "('t2', 0, 0, 0, 'a inner b'), ('t2', 1, 0, 0, 'x')" +
+        ") AS t(media_ref, tbl, row, col, cell)"),
+      // same integer comparisons per Gopher rule; list ops mirror the
+      // Spark higher-order functions element-for-element
+      "q_gopher_quality" -> ("""
+        |WITH t AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS w,
+        |  string_split(text, chr(10)) AS l FROM documents),
+        |u AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS wc, CAST(len(l) AS BIGINT) AS lc,
+        |  CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) AS sumlen,
+        |  CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS hashes,
+        |  CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS dots,
+        |  CAST(len(text) - len(replace(text, '…', '')) AS BIGINT) AS ells,
+        |  CAST(len(list_filter(l, x -> ltrim(x) LIKE '-%' OR ltrim(x) LIKE '*%' OR ltrim(x) LIKE '•%')) AS BIGINT) AS bl,
+        |  CAST(len(list_filter(l, x -> rtrim(x) LIKE '%...' OR rtrim(x) LIKE '%…')) AS BIGINT) AS el,
+        |  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS aw,
+        |  ((CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END) +
+        |   (CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END) +
+        |   (CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END) +
+        |   (CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END) +
+        |   (CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END) +
+        |   (CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END) +
+        |   (CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END) +
+        |   (CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END)) AS sh
+        |  FROM t)
+        |SELECT doc_id, wc AS n_words,
+        |  wc >= 50 AND wc <= 100000 AS f_word_count,
+        |  3*wc <= sumlen AND sumlen <= 10*wc AS f_mean_word_len,
+        |  10*(hashes + dots + ells) <= wc AS f_symbol_ratio,
+        |  10*bl <= 9*lc AS f_bullet_lines,
+        |  10*el <= 3*lc AS f_ellipsis_lines,
+        |  5*aw >= 4*wc AS f_alpha_words,
+        |  sh >= 2 AS f_stopwords,
+        |  (wc >= 50 AND wc <= 100000) AND (3*wc <= sumlen AND sumlen <= 10*wc)
+        |    AND (10*(hashes + dots + ells) <= wc) AND (10*bl <= 9*lc)
+        |    AND (10*el <= 3*lc) AND (5*aw >= 4*wc) AND (sh >= 2) AS pass
+        |FROM u""".stripMargin),
       "x_sitemap" -> ("SELECT * FROM (VALUES " +
         "('example.com', 'urlset', 0, 'https://example.com/'), " +
         "('example.com', 'urlset', 1, 'https://example.com/a?x=1&y=2'), " +

@@ -47,6 +47,13 @@ object PdfFunctions {
   def htmlAnchors(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     udf(htmlAnchorsF).apply(c)
 
+  private val htmlTablesF = (bytes: Array[Byte]) =>
+    if (bytes == null) null else graft.html.Html.tableCells(bytes)
+
+  /** Column form of the table-cell extractor: (table, row, col, text). */
+  def htmlTables(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udf(htmlTablesF).apply(c)
+
   private val htmlDocMetaF = (bytes: Array[Byte]) =>
     if (bytes == null) null else graft.html.Html.docMeta(bytes)
 
@@ -62,6 +69,7 @@ object PdfFunctions {
     spark.udf.register("html_image_refs", udf(htmlImageRefsF))
     spark.udf.register("html_link_refs", udf(htmlLinkRefsF))
     spark.udf.register("html_anchors", udf(htmlAnchorsF))
+    spark.udf.register("html_tables", udf(htmlTablesF))
     spark.udf.register("html_doc_meta", udf(htmlDocMetaF))
   }
 }

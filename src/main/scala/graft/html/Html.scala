@@ -131,9 +131,12 @@ object Html {
 
   /** Parse result: blocks in document order plus in-content media/link refs
     * (src of `<img>` / href of `<a>` outside any drop context, appearance
-    * order — drop-context links are navigation chrome by definition). */
+    * order — drop-context links are navigation chrome by definition) and
+    * in-content table cells as (table, row, col, text) — the structured-data
+    * leg of DOM extraction. */
   final case class Parsed(blocks: Vector[Block], imageRefs: Vector[String],
-                          linkRefs: Vector[String], anchorTexts: Vector[String])
+                          linkRefs: Vector[String], anchorTexts: Vector[String],
+                          tableCells: Vector[(Int, Int, Int, String)])
 
   def parse(html: String): Parsed = {
     val lower = html.toLowerCase // one pass; raw-text close-tag scans use it
@@ -147,6 +150,13 @@ object Html {
     var capBuf: java.lang.StringBuilder = null
     var capIdx = -1
     var capDepth = 0
+    // table-cell capture (outermost in-content table only; a nested table's
+    // text flattens into the cell that contains it, and tables opened inside
+    // a drop context — nav/footer layout grids — are skipped entirely)
+    val cells = Vector.newBuilder[(Int, Int, Int, String)]
+    var tableDepth = 0; var tableIdx = -1; var nextTable = 0
+    var rowIdx = -1; var colIdx = -1
+    var cellBuf: java.lang.StringBuilder = null
     val stack = ArrayBuffer.empty[String]
     val buf = new java.lang.StringBuilder(256)
     var words = 0; var chars = 0; var anchorChars = 0
@@ -160,6 +170,15 @@ object Html {
         out += Block(buf.toString, words, chars, anchorChars,
           heading = headingDepth > 0, dropContext = dropDepth > 0)
       buf.setLength(0); words = 0; chars = 0; anchorChars = 0; lastWasSpace = true
+      // an intra-cell block boundary (<td><p>a</p><p>b</p>) is a space, not
+      // a concatenation, in the flattened cell text
+      if (cellBuf != null && cellBuf.length > 0 &&
+          cellBuf.charAt(cellBuf.length - 1) != ' ') cellBuf.append(' ')
+    }
+
+    def flushCell(): Unit = if (cellBuf != null) {
+      cells += ((tableIdx, rowIdx, colIdx, cellBuf.toString.trim))
+      cellBuf = null
     }
 
     def appendText(s: String): Unit = {
@@ -170,12 +189,14 @@ object Html {
           if (!lastWasSpace) {
             buf.append(' '); chars += 1; if (anchorDepth > 0) anchorChars += 1
             if (capBuf != null) capBuf.append(' ')
+            if (cellBuf != null) cellBuf.append(' ')
           }
           lastWasSpace = true
         } else {
           if (lastWasSpace) words += 1 // a non-space after a gap starts a word
           buf.append(c); chars += 1; if (anchorDepth > 0) anchorChars += 1
           if (capBuf != null) capBuf.append(c)
+          if (cellBuf != null) cellBuf.append(c)
           lastWasSpace = false
         }
         j += 1
@@ -186,6 +207,23 @@ object Html {
       if (tag == "a") anchorDepth += 1
       if (dropTags.contains(tag)) dropDepth += 1
       if (headingTags.contains(tag)) headingDepth += 1
+      tag match {
+        case "table" =>
+          tableDepth += 1
+          if (tableDepth == 1) { // outermost only; drop-context grids skipped
+            if (dropDepth == 0) { tableIdx = nextTable; nextTable += 1 }
+            else tableIdx = -1
+            rowIdx = -1; colIdx = -1
+          }
+        case "tr" if tableDepth == 1 && tableIdx >= 0 =>
+          flushCell(); rowIdx += 1; colIdx = -1
+        case "td" | "th" if tableDepth == 1 && tableIdx >= 0 =>
+          flushCell()
+          if (rowIdx < 0) rowIdx = 0 // td with no enclosing tr
+          colIdx += 1
+          cellBuf = new java.lang.StringBuilder(32)
+        case _ => ()
+      }
     }
     def endCapture(): Unit = {
       anchorTexts(capIdx) = capBuf.toString.trim
@@ -198,6 +236,13 @@ object Html {
       }
       if (dropTags.contains(tag) && dropDepth > 0) dropDepth -= 1
       if (headingTags.contains(tag) && headingDepth > 0) headingDepth -= 1
+      tag match {
+        case "td" | "th" | "tr" if tableDepth == 1 => flushCell()
+        case "table" if tableDepth > 0 =>
+          if (tableDepth == 1) { flushCell(); tableIdx = -1 }
+          tableDepth -= 1
+        case _ => ()
+      }
     }
 
     /** Pop to (and including) the nearest `tag` on the stack; no-op when
@@ -344,7 +389,9 @@ object Html {
     }
     flush()
     if (capBuf != null) endCapture() // unclosed <a> at EOF
-    Parsed(out.result(), images.result(), links.toVector, anchorTexts.toVector)
+    flushCell() // unclosed cell at EOF
+    Parsed(out.result(), images.result(), links.toVector, anchorTexts.toVector,
+      cells.result())
   }
 
   def blocks(html: String): Vector[Block] = parse(html).blocks
@@ -512,6 +559,16 @@ object Html {
     * consumes; nav/footer links are boilerplate and are not emitted). */
   def linkRefs(bytes: Array[Byte]): Seq[String] =
     parse(decode(bytes)).linkRefs
+
+  /** In-content table cells as (table, row, col, text) — structured data
+    * extracted from the DOM (prices, schedules, specs live in tables and
+    * are lost by a pure text flattening). Outermost in-content tables only:
+    * nested-table text flattens into its containing cell, drop-context
+    * layout grids (nav/footer) are excluded, implied `</td>`/`</tr>` follow
+    * the HTML5 implied-end-tag rules, and `colspan`/`rowspan` are not
+    * expanded (col is the source-order cell index). */
+  def tableCells(bytes: Array[Byte]): Seq[(Int, Int, Int, String)] =
+    parse(decode(bytes)).tableCells
 
   /** In-content (href, anchor text) pairs — the labeled edge list a
     * link-graph / anchor-text-index stage consumes (anchor text is the

@@ -702,6 +702,51 @@ object TrainingOps {
         .otherwise(lit("ok")).as("quality_bucket"))
   }
 
+  /** Gopher quality rules [Rae et al. 2021, appendix A] — the published
+    * rule set real web-corpus pipelines filter on, one boolean flag per
+    * rule plus the conjunction. Every flag is decided in pure integer
+    * comparisons (`3·wc ≤ Σlen ≤ 10·wc` instead of a float mean), so the
+    * whole row is bitwise cross-engine and hash-comparable. One narrow
+    * codegen pass over the corpus — per-row arrays (words/lines) are
+    * bounded by the document itself and never leave the row; no shuffle.
+    *
+    * Rules: 50 ≤ words ≤ 100k; mean word length in [3,10]; symbol-to-word
+    * ratio (`#`, `...`, `…`) ≤ 0.1; ≤ 90% of lines start with a bullet;
+    * ≤ 30% of lines end with an ellipsis; ≥ 80% of words contain an
+    * alphabetic character; ≥ 2 of the 8 required stopwords appear. */
+  def gopherQualityFlags(docs: DataFrame): DataFrame = {
+    val words = filter(split(col("text"), "\\s+"), w => w =!= "")
+    val lines = split(col("text"), "\n")
+    val wc = size(col("_w")).cast("long")
+    val lc = size(col("_l")).cast("long")
+    val sumLen = aggregate(col("_w"), lit(0L), (a, w) => a + length(w))
+    val hashes = (length(col("text")) - length(regexp_replace(col("text"), "#", ""))).cast("long")
+    val dots = ((length(col("text")) -
+      length(regexp_replace(col("text"), lit("\\.\\.\\."), lit("")))) / 3).cast("long")
+    val ells = (length(col("text")) -
+      length(regexp_replace(col("text"), lit("…"), lit("")))).cast("long")
+    val bulletLines = size(filter(col("_l"), l =>
+      ltrim(l).startsWith("-") || ltrim(l).startsWith("*") || ltrim(l).startsWith("•"))).cast("long")
+    val ellLines = size(filter(col("_l"), l =>
+      rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast("long")
+    val alphaWords = size(filter(col("_w"), w => w.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(s => when(array_contains(col("_w"), s), 1).otherwise(0))
+      .reduce(_ + _)
+    docs.withColumn("_w", words).withColumn("_l", lines)
+      .select(col("doc_id"), wc.as("n_words"),
+        (wc >= 50L && wc <= 100000L).as("f_word_count"),
+        (lit(3L) * wc <= sumLen && sumLen <= lit(10L) * wc).as("f_mean_word_len"),
+        (lit(10L) * (hashes + dots + ells) <= wc).as("f_symbol_ratio"),
+        (lit(10L) * bulletLines <= lit(9L) * lc).as("f_bullet_lines"),
+        (lit(10L) * ellLines <= lit(3L) * lc).as("f_ellipsis_lines"),
+        (lit(5L) * alphaWords >= lit(4L) * wc).as("f_alpha_words"),
+        (stopHits >= 2).as("f_stopwords"))
+      .withColumn("pass", col("f_word_count") && col("f_mean_word_len") &&
+        col("f_symbol_ratio") && col("f_bullet_lines") && col("f_ellipsis_lines") &&
+        col("f_alpha_words") && col("f_stopwords"))
+  }
+
   /** Stopword-hit language-ID heuristic (tiny n-gram/stopword model; the
     * point is the shape — a per-row codegen'd classifier). */
   def langId(docs: DataFrame): DataFrame = {

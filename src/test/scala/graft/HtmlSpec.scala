@@ -84,6 +84,26 @@ class HtmlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Html.keep(Block("x", 3, 100, 21, heading = false, dropContext = false)))
   }
 
+  test("tableCells: implied closes, nav exclusion, nesting flattens, grid indices") {
+    val html = "<nav><table><tr><td>menu</td></tr></table></nav>" +
+      "<table><tr><th>h1</th><th>h2</th></tr>" +
+      "<tr><td>a<td>b &amp; c</tr>" +                    // implied </td>
+      "<tr><td><p>x</p><p>y</p></td><td></td></tr></table>" + // blocks → space; empty cell
+      "<table><tr><td>n<table><tr><td>i</td></tr></table>m</td></tr></table>" // nested
+    val got = Html.tableCells(html.getBytes("UTF-8"))
+    assert(got == Seq(
+      (0, 0, 0, "h1"), (0, 0, 1, "h2"),
+      (0, 1, 0, "a"), (0, 1, 1, "b & c"),
+      (0, 2, 0, "x y"), (0, 2, 1, ""),
+      (1, 0, 0, "n i m")), got.toString)
+    // unclosed table at EOF still flushes its open cell
+    assert(Html.tableCells("<table><tr><td>tail".getBytes("UTF-8")) ==
+      Seq((0, 0, 0, "tail")))
+    // blocks output is unchanged by capture: table text still classifies
+    val blocks = Html.blocks(html)
+    assert(blocks.exists(_.text == "menu")) // nav block exists (dropContext)
+  }
+
   test("malformed markup terminates and never throws") {
     val cases = Seq(
       "<br / >looping slash attr",                        // bare '/' in attr position

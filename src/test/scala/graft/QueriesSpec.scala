@@ -439,6 +439,31 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 2L, 4L, 0.5), (2L, 3L, 3L, 1.0)), s"got $got")
   }
 
+  test("gopherQualityFlags: each published rule trips on its planted doc") {
+    val sp = spark; import sp.implicits._
+    val good = (("the be to of and that have with " * 8).trim + " extra words here") // 68 words, mean 3.1
+    val docs = Seq(
+      (1L, good),                                         // passes every rule
+      (2L, "the be of " * 5),                             // 15 words → f_word_count false
+      (3L, good + " " + ("### #### " * 12).trim),         // 24 symbol tokens of 91 words → symbol + alpha trip
+      (4L, Seq.fill(10)("- bullet item line of the be with that have and more").mkString("\n")), // 100% bullet lines
+      (5L, good + "\nend one...\nend two...\nplain line"), // 2/4 ellipsis lines → >30%
+      (6L, "alpha " * 60)                                 // only 1 distinct stopword-free → f_stopwords false
+    ).toDF("doc_id", "text")
+    val got = operators.TrainingOps.gopherQualityFlags(docs)
+      .select("doc_id", "f_word_count", "f_mean_word_len", "f_symbol_ratio",
+        "f_bullet_lines", "f_ellipsis_lines", "f_alpha_words", "f_stopwords", "pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1)
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._9, s"doc 1 should pass: ${byId(1L)}")
+    assert(!byId(2L)._2 && !byId(2L)._9)                  // word count
+    assert(!byId(3L)._4 && !byId(3L)._7, s"${byId(3L)}")  // symbol ratio + alpha words
+    assert(!byId(4L)._5 && !byId(4L)._9)                  // bullet lines
+    assert(!byId(5L)._6 && !byId(5L)._9)                  // ellipsis lines
+    assert(!byId(6L)._8 && !byId(6L)._9)                  // stopwords
+  }
+
   test("mixSources: exact-fraction boundaries, whitelist semantics, repartition-stable") {
     val sp = spark; import sp.implicits._
     val docs = (1L to 400L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
