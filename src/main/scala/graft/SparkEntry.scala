@@ -65,6 +65,20 @@ object SparkEntry {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Scoped shuffle-partition override for the fixture-scale streaming
+    * queries: a Structured Streaming checkpoint materializes one state-store
+    * instance per shuffle partition per stateful operator, so running a
+    * 30-row fixture stream at the session's 32 partitions pays 32× the
+    * state-store setup/commit IO for zero parallelism benefit (results are
+    * partition-count invariant — the sbt specs run the same helpers at
+    * other widths). Production streams size this to their key cardinality;
+    * the session default is restored even on failure. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   // ---------- extraction queries (kernel operator families) ----------
 
   private def fx(names: String*): Seq[PdfBuilder.Fixture] = {
@@ -946,6 +960,10 @@ object SparkEntry {
         WebOps.robotsFilter(WebOps.parseUrls(urls, col("url")), rules)
           .select(col("doc_id"), col("host"), col("url_norm"))
       }),
+      // group-independent Sitemap: directives out of the same robots
+      // fixture — the URL list parseSitemaps' fetch loop starts from
+      "x_robots_sitemaps" -> ((s: SparkSession, _: String) =>
+        WebOps.robotsSitemaps(robotsFixture(s), col("host"), col("content"))),
       // link-graph degrees (popularity prior): union + ONE node-keyed
       // aggregation with map-side partial sums
       "q_graph_degrees" -> ((s: SparkSession, d: String) => {
@@ -1039,7 +1057,7 @@ object SparkEntry {
         s.sql("SELECT media_ref, pdf2txt(bytes) AS text, pdf2txt_safe(bytes) AS text_safe FROM x_udf_media")
       }),
       // watermarked event-time windowed aggregation (streaming primitive)
-      "x_stream_window" -> ((s: SparkSession, _: String) => {
+      "x_stream_window" -> ((s: SparkSession, _: String) => withShufflePartitions(s, 4) {
         import s.implicits._
         val tmp = java.nio.file.Files.createTempDirectory("graft-swin").toString
         s.createDataset(streamDocs).toDF().write.parquet(s"$tmp/in")
@@ -1056,7 +1074,7 @@ object SparkEntry {
         s.table(sink)
       }),
       // cross-batch streaming exact dedup via flatMapGroupsWithState
-      "x_stream_dedup" -> ((s: SparkSession, _: String) => {
+      "x_stream_dedup" -> ((s: SparkSession, _: String) => withShufflePartitions(s, 4) {
         import s.implicits._
         val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
         // two checkpointed runs = two (or more) micro-batches: proves state
@@ -1071,7 +1089,7 @@ object SparkEntry {
       // cross-batch streaming NEAR-dedup: minhash-signature state keys —
       // wave 2's doc 3 is a different text with the same shingle set as
       // doc 1 and must be suppressed across the checkpointed restart
-      "x_stream_neardedup" -> ((s: SparkSession, _: String) => {
+      "x_stream_neardedup" -> ((s: SparkSession, _: String) => withShufflePartitions(s, 4) {
         import s.implicits._
         val tmp = java.nio.file.Files.createTempDirectory("graft-sneardedup").toString
         s.createDataset(nearStreamWave1).toDF().write.mode("append").parquet(s"$tmp/in")
@@ -1084,7 +1102,7 @@ object SparkEntry {
       // batch job (boilerplateLineHashes over a "prior snapshot") rides
       // as a plan literal inside a stateless streaming rewrite, across
       // two checkpointed AvailableNow waves
-      "x_stream_boilerplate" -> ((s: SparkSession, _: String) => {
+      "x_stream_boilerplate" -> ((s: SparkSession, _: String) => withShufflePartitions(s, 4) {
         import s.implicits._
         val tmp = java.nio.file.Files.createTempDirectory("graft-sboiler").toString
         val prior = Seq((1L, "x\nFOOTER LINE"), (2L, "FOOTER LINE\ny"))
@@ -1106,7 +1124,7 @@ object SparkEntry {
       // streaming ingest decontamination: the constant-folded bloom
       // literal + exact-hash verify as a stateless filter inside a
       // checkpointed streaming plan, across two AvailableNow runs
-      "x_stream_decontaminate" -> ((s: SparkSession, _: String) => {
+      "x_stream_decontaminate" -> ((s: SparkSession, _: String) => withShufflePartitions(s, 4) {
         import s.implicits._
         val tmp = java.nio.file.Files.createTempDirectory("graft-sdecon").toString
         val evalDocs = s.createDataset(decontamEvalTexts.zipWithIndex.map {
@@ -1120,7 +1138,7 @@ object SparkEntry {
       }),
       // Structured-Streaming surface: file-source micro-batches through the
       // same operators, AvailableNow trigger, checkpointed sink
-      "x_stream_extract" -> ((s: SparkSession, _: String) => {
+      "x_stream_extract" -> ((s: SparkSession, _: String) => withShufflePartitions(s, 4) {
         implicit val sp: SparkSession = s
         import sp.implicits._
         val fs = fx(streamFixtures: _*)
@@ -1137,7 +1155,7 @@ object SparkEntry {
       }),
       // continuous crawl-archive ingestion: two waves of WARC files through
       // the checkpointed stream — wave 2 only processes the NEW archives
-      "x_stream_warc" -> ((s: SparkSession, _: String) => {
+      "x_stream_warc" -> ((s: SparkSession, _: String) => withShufflePartitions(s, 4) {
         implicit val sp: SparkSession = s
         import sp.implicits._
         val tmp = java.nio.file.Files.createTempDirectory("graft-swarc").toString
@@ -1273,6 +1291,10 @@ object SparkEntry {
       // rule, decided in pure integer comparisons — bitwise cross-engine
       "q_gopher_quality" -> ((s: SparkSession, d: String) =>
         TrainingOps.gopherQualityFlags(t(s, d, "documents"))),
+      // context windows: 32-token chunks every 16 tokens (50% overlap),
+      // one generator pass, fan-out bounded per document
+      "q_sliding_chunks" -> ((s: SparkSession, d: String) =>
+        TrainingOps.slidingChunks(t(s, d, "documents"), 32, 16)),
       // deterministic training mix: exact-rational per-source keep
       // fractions as a plan-literal CASE — one codegen pass, no shuffle
       "q_mix_sources" -> ((s: SparkSession, d: String) =>
@@ -1327,10 +1349,14 @@ object SparkEntry {
     import s.implicits._
     Seq(
       ("example.com",
-        "# site robots\nUser-agent: googlebot\nDisallow: /private\n\n" +
+        "# site robots\nSitemap: https://example.com/sitemap.xml\n" +
+          "User-agent: googlebot\nDisallow: /private\n\n" +
           "User-agent: *\nUser-agent: testbot\nDisallow: /admin\nDISALLOW: /tmp/\nDisallow:\n\n" +
           "User-agent: otherbot\nDisallow: /"),
-      ("blocked.org", "User-agent: *\nDisallow: /"))
+      ("blocked.org",
+        "Sitemap: https://cdn.blocked.org/sm1.xml # primary\n" +
+          "User-agent: *\nDisallow: /\n" +
+          "sitemap: https://cdn.blocked.org/sm2.xml"))
       .toDF("host", "content")
   }
 
@@ -1760,6 +1786,13 @@ object SparkEntry {
       "x_warc_extract" -> warcOracle,
       "x_stream_warc" -> warcOracle,
       "x_robots_filter" -> robotsOracle,
+      // by hand from the robots fixture: comment stripped, any casing,
+      // file order per host
+      "x_robots_sitemaps" -> ("SELECT * FROM (VALUES " +
+        "('example.com', 0, 'https://example.com/sitemap.xml'), " +
+        "('blocked.org', 0, 'https://cdn.blocked.org/sm1.xml'), " +
+        "('blocked.org', 1, 'https://cdn.blocked.org/sm2.xml')" +
+        ") AS t(host, pos, sitemap)"),
       "x_html_meta" -> htmlMetaOracle,
       // hand-derived from the two inline fixtures (nav grid skipped, implied
       // closes, entity decode, intra-cell block boundary = space, nested
@@ -1771,6 +1804,17 @@ object SparkEntry {
         "('t1', 1, 0, 0, 'second'), ('t1', 1, 0, 1, ''), " +
         "('t2', 0, 0, 0, 'a inner b'), ('t2', 1, 0, 0, 'x')" +
         ") AS t(media_ref, tbl, row, col, cell)"),
+      // same token split, same window starts (range excludes len, Spark's
+      // sequence includes len-1 — identical sets), same 1-based inclusive
+      // slice clamping at the tail
+      "q_sliding_chunks" -> ("""
+        |WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS l FROM documents),
+        |u AS (SELECT doc_id, l,
+        |  unnest(range(0, greatest(len(l), 1), 16)) AS start FROM t)
+        |SELECT doc_id, CAST(start // 16 AS BIGINT) AS chunk_idx,
+        |  array_to_string(l[CAST(start + 1 AS BIGINT):CAST(start + 32 AS BIGINT)], ' ') AS chunk_text
+        |FROM u""".stripMargin),
       // same integer comparisons per Gopher rule; list ops mirror the
       // Spark higher-order functions element-for-element
       "q_gopher_quality" -> ("""

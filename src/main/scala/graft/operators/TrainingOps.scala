@@ -702,6 +702,29 @@ object TrainingOps {
         .otherwise(lit("ok")).as("quality_bucket"))
   }
 
+  /** Sliding-window chunking with overlap — the context-window op
+    * (pretraining windows, RAG passage indexing): token windows of
+    * `chunkTokens` starting every `strideTokens`, so consecutive chunks
+    * share `chunkTokens - strideTokens` tokens. Distinct from
+    * [[tokenBudgetChunks]] (which packs docs into budget bins): this
+    * splits WITHIN documents. Whitespace tokens; the final windows are
+    * shorter (standard). One narrow pass + generator — the per-row
+    * explode fan-out is ~n/stride, bounded by the document's own length,
+    * and nothing shuffles. Deterministic, cross-engine exact (strings
+    * and integer indices only). */
+  def slidingChunks(docs: DataFrame, chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens,
+      s"need 0 < stride <= chunk, got $strideTokens/$chunkTokens")
+    val toks = filter(split(col("text"), " "), w => w =!= "")
+    docs.withColumn("_t", toks)
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0), greatest(size(col("_t")) - 1, lit(0)),
+          lit(strideTokens))).as(Seq("chunk_idx", "start")),
+        col("_t"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("_t"), col("start") + 1, lit(chunkTokens))).as("chunk_text"))
+  }
+
   /** Gopher quality rules [Rae et al. 2021, appendix A] — the published
     * rule set real web-corpus pipelines filter on, one boolean flag per
     * rule plus the conjunction. Every flag is decided in pure integer

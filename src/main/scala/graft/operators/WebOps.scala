@@ -112,6 +112,23 @@ object WebOps {
       .distinct()
   }
 
+  /** Extract `Sitemap:` directives from robots.txt bodies — per the robots
+    * exclusion standard these are group-independent (valid anywhere in the
+    * file, any casing) and carry ABSOLUTE URLs. Output (host, pos, sitemap)
+    * in file order feeds the fetcher whose responses [[parseSitemaps]]
+    * parses: robots → sitemap URL → loc entries is the complete
+    * frontier-seeding chain. Comments strip first (a `#` ends the value);
+    * pure codegen string expressions, no shuffle. */
+  def robotsSitemaps(robots: DataFrame, host: Column, content: Column): DataFrame =
+    robots.select(host.as("host"), posexplode(split(content, "\n")).as(Seq("ln", "raw")))
+      .withColumn("line", trim(regexp_replace(col("raw"), "#.*", "")))
+      .where(lower(col("line")).startsWith("sitemap:"))
+      .withColumn("sitemap", trim(expr("substring(line, 9)")))
+      .where(col("sitemap") =!= "")
+      .withColumn("pos", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("host")).orderBy(col("ln"))) - 1)
+      .select(col("host"), col("pos"), col("sitemap"))
+
   /** Parse sitemap.xml bodies into discovered URLs — the other half of
     * crawl-frontier seeding next to [[parseRobots]]. Emits one row per
     * `<loc>` entry: (host, kind, pos, loc) where kind is `urlset` (page

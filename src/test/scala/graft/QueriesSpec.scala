@@ -439,6 +439,22 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 2L, 4L, 0.5), (2L, 3L, 3L, 1.0)), s"got $got")
   }
 
+  test("slidingChunks: overlap windows, short tail, no-overlap mode, bad args rejected") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "x")).toDF("doc_id", "text")
+    val got = operators.TrainingOps.slidingChunks(docs, 3, 2)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, "a b c"), (1L, 1L, "c d e"), (1L, 2L, "e"),
+      (2L, 0L, "x")))
+    val noOverlap = operators.TrainingOps.slidingChunks(docs, 2, 2)
+      .as[(Long, Long, String)].collect().toSet
+    assert(noOverlap == Set((1L, 0L, "a b"), (1L, 1L, "c d"), (1L, 2L, "e"), (2L, 0L, "x")))
+    intercept[IllegalArgumentException] {
+      operators.TrainingOps.slidingChunks(docs, 2, 3) // stride > chunk
+    }
+  }
+
   test("gopherQualityFlags: each published rule trips on its planted doc") {
     val sp = spark; import sp.implicits._
     val good = (("the be to of and that have with " * 8).trim + " extra words here") // 68 words, mean 3.1

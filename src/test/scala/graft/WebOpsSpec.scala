@@ -107,6 +107,20 @@ class WebOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rules == Set(("a.com", "/admin"), ("a.com", "/tmp/"), ("b.com", "/")))
   }
 
+  test("robotsSitemaps: group-independent, cased, comment-stripped, empty dropped") {
+    val sp = spark; import sp.implicits._
+    val robots = Seq(
+      ("a.com", "User-agent: *\nSITEMAP: https://a.com/s1.xml\nDisallow: /x\n" +
+        "Sitemap: https://a.com/s2.xml # late\nSitemap: # empty after comment"),
+      ("b.com", "User-agent: *\nDisallow: /")) // no directive → no rows
+      .toDF("host", "content")
+    val got = WebOps.robotsSitemaps(robots, col("host"), col("content"))
+      .as[(String, Int, String)].collect().toSet
+    assert(got == Set(
+      ("a.com", 0, "https://a.com/s1.xml"),
+      ("a.com", 1, "https://a.com/s2.xml")))
+  }
+
   test("parseSitemaps: urlset vs index, order, entity unescape (amp last, no double-decode)") {
     val sp = spark; import sp.implicits._
     val sm = Seq(
