@@ -105,6 +105,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kernels == 1, s"$kernels MapPartitions (want 1):\n$p")
   }
 
+  test("narrow per-row ops plan one scan and zero exchanges") {
+    // slidingChunks, gopherQualityFlags and mixSources are pure per-row
+    // rewrites: at 100 TB the only acceptable plan is scan → project/
+    // generate/filter with no shuffle and the full pipeline codegen'd
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    for ((name, df) <- Seq(
+        "slidingChunks" -> operators.TrainingOps.slidingChunks(docs, 32, 16),
+        "gopherQualityFlags" -> operators.TrainingOps.gopherQualityFlags(docs),
+        "mixSources" -> operators.TrainingOps.mixSources(docs,
+          Map("src0" -> ((1L, 2L)), "src1" -> ((1L, 1L)))))) {
+      df.collect()
+      val p = plan(df).split("== Initial Plan ==").head
+      assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
+      val scans = "FileScan".r.findAllIn(p).size
+      assert(scans == 1, s"$name: $scans FileScans (want 1):\n$p")
+    }
+  }
+
   test("LSH over a persisted signature table plans ZERO signature passes") {
     val dir = java.nio.file.Files.createTempDirectory("plan-sig").toString + "/minhash"
     operators.TrainingOps.saveMinhashSignatures(
