@@ -1295,6 +1295,24 @@ object SparkEntry {
       // one generator pass, fan-out bounded per document
       "q_sliding_chunks" -> ((s: SparkSession, d: String) =>
         TrainingOps.slidingChunks(t(s, d, "documents"), 32, 16)),
+      // curation decision table: per-source doc/pass/token rollup — flags
+      // inline (pass-through overload), one tiny-key shuffle
+      "q_source_curation" -> ((s: SparkSession, d: String) =>
+        TrainingOps.sourceCuration(t(s, d, "documents"))),
+      // multimodal packing: interleaved spans → ordered training text with
+      // per-kind media sentinels + an honest token budget (64/media span)
+      "x_interleaved_pack" -> ((s: SparkSession, _: String) => {
+        import s.implicits._
+        val spans = Seq(
+          (1L, 0, "text", "hello world", ""),
+          (1L, 1, "image", "", "img1"),
+          (1L, 2, "text", "tail bit", ""),
+          (2L, 0, "audio", "", "au1"),
+          (2L, 1, "text", "solo", ""),
+          (3L, 0, "text", "only text here", ""))
+          .toDF("doc_id", "order", "kind", "text", "media_ref")
+        TrainingOps.packInterleaved(spans, mediaTokens = 64)
+      }),
       // deterministic training mix: exact-rational per-source keep
       // fractions as a plan-literal CASE — one codegen pass, no shuffle
       "q_mix_sources" -> ((s: SparkSession, d: String) =>
@@ -1804,6 +1822,46 @@ object SparkEntry {
         "('t1', 1, 0, 0, 'second'), ('t1', 1, 0, 1, ''), " +
         "('t2', 0, 0, 0, 'a inner b'), ('t2', 1, 0, 0, 'x')" +
         ") AS t(media_ref, tbl, row, col, cell)"),
+      // the gopher pipeline with source carried through, collapsed to the
+      // per-source curation rollup (SUM(BIGINT) → HUGEINT, hence the CASTs)
+      "q_source_curation" -> ("""
+        |WITH t AS (SELECT doc_id, source, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS w,
+        |  string_split(text, chr(10)) AS l FROM documents),
+        |u AS (SELECT source,
+        |  CAST(len(w) AS BIGINT) AS wc, CAST(len(l) AS BIGINT) AS lc,
+        |  CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) AS sumlen,
+        |  CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS hashes,
+        |  CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS dots,
+        |  CAST(len(text) - len(replace(text, '…', '')) AS BIGINT) AS ells,
+        |  CAST(len(list_filter(l, x -> ltrim(x) LIKE '-%' OR ltrim(x) LIKE '*%' OR ltrim(x) LIKE '•%')) AS BIGINT) AS bl,
+        |  CAST(len(list_filter(l, x -> rtrim(x) LIKE '%...' OR rtrim(x) LIKE '%…')) AS BIGINT) AS el,
+        |  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS aw,
+        |  ((CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END) +
+        |   (CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END) +
+        |   (CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END) +
+        |   (CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END) +
+        |   (CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END) +
+        |   (CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END) +
+        |   (CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END) +
+        |   (CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END)) AS sh
+        |  FROM t),
+        |v AS (SELECT source, wc,
+        |  (wc >= 50 AND wc <= 100000) AND (3*wc <= sumlen AND sumlen <= 10*wc)
+        |    AND (10*(hashes + dots + ells) <= wc) AND (10*bl <= 9*lc)
+        |    AND (10*el <= 3*lc) AND (5*aw >= 4*wc) AND (sh >= 2) AS pass FROM u)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(SUM(wc) AS BIGINT) AS n_tokens
+        |FROM v GROUP BY source""".stripMargin),
+      // by hand from the inline span fixture: order-sorted pieces joined
+      // by ' ', 64 tokens per media span + whitespace tokens per text span
+      "x_interleaved_pack" -> ("SELECT CAST(doc_id AS BIGINT) AS doc_id, packed_text, " +
+        "CAST(n_tokens AS BIGINT) AS n_tokens FROM (VALUES " +
+        "(1, 'hello world <|image|> tail bit', 68), " +
+        "(2, '<|audio|> solo', 65), " +
+        "(3, 'only text here', 3)" +
+        ") AS t(doc_id, packed_text, n_tokens)"),
       // same token split, same window starts (range excludes len, Spark's
       // sequence includes len-1 — identical sets), same 1-based inclusive
       // slice clamping at the tail

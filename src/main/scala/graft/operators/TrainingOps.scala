@@ -702,6 +702,29 @@ object TrainingOps {
         .otherwise(lit("ok")).as("quality_bucket"))
   }
 
+  /** Interleaved-document assembly for multimodal training: order the
+    * spans of each document, substitute a per-kind sentinel token
+    * (`<|image|>`, `<|audio|>`, …) for every media span, and budget
+    * `mediaTokens` tokens per media span next to the whitespace-token
+    * count of the text spans — the packing step that turns the engine's
+    * interleaved span output into model-ready sequences with an honest
+    * token count. ONE shuffle on the 8-byte doc_id; the aggregation
+    * buffer is bounded by a document's own span count. Deterministic
+    * (spans sort by `order`) and DuckDB-replicable (`string_agg ORDER
+    * BY`), so the whole packed corpus hash-compares cross-engine. */
+  def packInterleaved(spans: DataFrame, mediaTokens: Int = 64): DataFrame = {
+    val isMedia = col("kind") =!= "text"
+    val piece = when(isMedia, concat(lit("<|"), col("kind"), lit("|>"))).otherwise(col("text"))
+    val tok = when(isMedia, lit(mediaTokens.toLong))
+      .otherwise(size(filter(split(col("text"), " "), w => w =!= "")).cast("long"))
+    spans.select(col("doc_id"), col("order"), piece.as("piece"), tok.as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(sort_array(collect_list(struct(col("order"), col("piece")))),
+          s => s("piece"))).as("packed_text"),
+        sum(col("tok")).as("n_tokens"))
+  }
+
   /** Sliding-window chunking with overlap — the context-window op
     * (pretraining windows, RAG passage indexing): token windows of
     * `chunkTokens` starting every `strideTokens`, so consecutive chunks
@@ -737,7 +760,12 @@ object TrainingOps {
     * ratio (`#`, `...`, `…`) ≤ 0.1; ≤ 90% of lines start with a bullet;
     * ≤ 30% of lines end with an ellipsis; ≥ 80% of words contain an
     * alphabetic character; ≥ 2 of the 8 required stopwords appear. */
-  def gopherQualityFlags(docs: DataFrame): DataFrame = {
+  def gopherQualityFlags(docs: DataFrame): DataFrame =
+    gopherQualityFlags(docs, Nil)
+
+  /** As above with pass-through columns (e.g. `source`) kept on each row
+    * for downstream grouping without a second scan or join. */
+  def gopherQualityFlags(docs: DataFrame, passThrough: Seq[String]): DataFrame = {
     val words = filter(split(col("text"), "\\s+"), w => w =!= "")
     val lines = split(col("text"), "\n")
     val wc = size(col("_w")).cast("long")
@@ -757,18 +785,30 @@ object TrainingOps {
       .map(s => when(array_contains(col("_w"), s), 1).otherwise(0))
       .reduce(_ + _)
     docs.withColumn("_w", words).withColumn("_l", lines)
-      .select(col("doc_id"), wc.as("n_words"),
+      .select(Seq(col("doc_id")) ++ passThrough.map(col) ++ Seq(wc.as("n_words"),
         (wc >= 50L && wc <= 100000L).as("f_word_count"),
         (lit(3L) * wc <= sumLen && sumLen <= lit(10L) * wc).as("f_mean_word_len"),
         (lit(10L) * (hashes + dots + ells) <= wc).as("f_symbol_ratio"),
         (lit(10L) * bulletLines <= lit(9L) * lc).as("f_bullet_lines"),
         (lit(10L) * ellLines <= lit(3L) * lc).as("f_ellipsis_lines"),
         (lit(5L) * alphaWords >= lit(4L) * wc).as("f_alpha_words"),
-        (stopHits >= 2).as("f_stopwords"))
+        (stopHits >= 2).as("f_stopwords")): _*)
       .withColumn("pass", col("f_word_count") && col("f_mean_word_len") &&
         col("f_symbol_ratio") && col("f_bullet_lines") && col("f_ellipsis_lines") &&
         col("f_alpha_words") && col("f_stopwords"))
   }
+
+  /** Per-source curation rollup — the table a corpus curator actually
+    * decides from: documents, Gopher-pass count, and token volume per
+    * source. One scan (flags computed inline via the pass-through
+    * overload, no join), one partial-aggregated shuffle on the tiny
+    * source key; all-integer output, hash-comparable cross-engine. */
+  def sourceCuration(docs: DataFrame): DataFrame =
+    gopherQualityFlags(docs, Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(col("n_words")).as("n_tokens"))
 
   /** Stopword-hit language-ID heuristic (tiny n-gram/stopword model; the
     * point is the shape — a per-row codegen'd classifier). */

@@ -439,6 +439,31 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((1L, 2L, 4L, 0.5), (2L, 3L, 3L, 1.0)), s"got $got")
   }
 
+  test("sourceCuration: per-source doc/pass/token rollup from inline flags") {
+    val sp = spark; import sp.implicits._
+    val good = ("the be to of and that have with " * 8).trim // 64 words, passes
+    val docs = Seq(
+      (1L, good, "cc"), (2L, good, "cc"), (3L, "too short", "cc"),
+      (4L, "alpha " * 60, "books")) // 60 words, no stopwords → fails
+      .toDF("doc_id", "text", "source")
+    val got = operators.TrainingOps.sourceCuration(docs)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("cc", 3L, 2L, 130L), ("books", 1L, 0L, 60L)))
+  }
+
+  test("packInterleaved: order-sorted assembly, per-kind sentinels, token budget") {
+    val sp = spark; import sp.implicits._
+    val spans = Seq(
+      (1L, 2, "text", "last", ""), (1L, 0, "image", "", "i1"), (1L, 1, "text", "a b", ""),
+      (2L, 0, "video", "", "v1"))
+      .toDF("doc_id", "order", "kind", "text", "media_ref")
+    val got = operators.TrainingOps.packInterleaved(spans.repartition(5), mediaTokens = 10)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "<|image|> a b last", 13L), // out-of-order input sorts by `order`
+      (2L, "<|video|>", 10L)))
+  }
+
   test("slidingChunks: overlap windows, short tail, no-overlap mode, bad args rejected") {
     val sp = spark; import sp.implicits._
     val docs = Seq((1L, "a b c d e"), (2L, "x")).toDF("doc_id", "text")
