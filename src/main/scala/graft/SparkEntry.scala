@@ -1295,6 +1295,37 @@ object SparkEntry {
       // one generator pass, fan-out bounded per document
       "q_sliding_chunks" -> ((s: SparkSession, d: String) =>
         TrainingOps.slidingChunks(t(s, d, "documents"), 32, 16)),
+      // perceptual image dedup: dHash + the shared 4-band pigeonhole join —
+      // a2 alters only a NEVER-SAMPLED pixel (15,15): same hash, distance 0;
+      // the reversed gradient flips all 64 comparisons and is excluded
+      "x_media_dhash" -> ((s: SparkSession, _: String) => {
+        import s.implicits._
+        def png(f: Int => Int): Array[Byte] = {
+          val img = new java.awt.image.BufferedImage(16, 16,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 16; x <- 0 until 16) {
+            val g = f(x) & 0xff
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        val a = png(x => x * 16)
+        val a2 = {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a))
+          img.setRGB(15, 15, 0) // (15,15) is outside every 9x8 sample point
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        val b = png(x => (15 - x) * 16)
+        val media = s.createDataset(Seq(
+          ("a", a), ("a2", a2), ("b", b),
+          ("bad", "not an image".getBytes("UTF-8"))))
+          .toDF("media_ref", "bytes")
+        MediaOps.dHashPairs(media, maxHamming = 3)
+      }),
       // curation decision table: per-source doc/pass/token rollup — flags
       // inline (pass-through overload), one tiny-key shuffle
       "q_source_curation" -> ((s: SparkSession, d: String) =>
@@ -1822,6 +1853,9 @@ object SparkEntry {
         "('t1', 1, 0, 0, 'second'), ('t1', 1, 0, 1, ''), " +
         "('t2', 0, 0, 0, 'a inner b'), ('t2', 1, 0, 0, 'x')" +
         ") AS t(media_ref, tbl, row, col, cell)"),
+      // by construction: a2 == a at every sample point (distance 0), the
+      // reversed gradient flips all 64 bits, the garbage blob drops
+      "x_media_dhash" -> "SELECT * FROM (VALUES ('a', 'a2', 0)) AS t(ref_a, ref_b, hamming)",
       // the gopher pipeline with source carried through, collapsed to the
       // per-source curation rollup (SUM(BIGINT) → HUGEINT, hence the CASTs)
       "q_source_curation" -> ("""

@@ -75,6 +75,66 @@ object MediaOps {
     (w, h, feat)
   }
 
+  /** 64-bit perceptual difference hash (dHash) of an image: decode, NN-
+    * sample a 9×8 integer-luma grid (sample point `(x·w/9, y·h/8)`, the
+    * same NN mapping as [[resizeImage]]), emit bit `y·8+x` = 1 iff
+    * `luma(x,y) < luma(x+1,y)`. Returned as the engine's 64-char bit
+    * string so [[TrainingOps.hammingDupPairsFromSig]] and the
+    * `graft_hamming` codegen expression apply unchanged. Pure integer
+    * math end-to-end — bitwise reproducible across JVMs. Null when no
+    * codec claims the payload (caller drops, mirroring the §2.9 error
+    * contract's no-abort rule). */
+  def dHash(bytes: Array[Byte]): String = {
+    val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    val lum = new Array[Int](9 * 8)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val sx = math.min(w - 1, x * w / 9)
+        val sy = math.min(h - 1, y * h / 8)
+        val rgb = img.getRGB(sx, sy)
+        lum(y * 9 + x) =
+          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        sb.append(if (lum(y * 9 + x) < lum(y * 9 + x + 1)) '1' else '0')
+        x += 1
+      }
+      y += 1
+    }
+    sb.toString
+  }
+
+  /** Near-duplicate IMAGE pairs by perceptual hash — web corpora repeat
+    * the same image across millions of pages (logos, thumbnails,
+    * re-encodes), and byte-level dedup misses every re-encode. One narrow
+    * typed pass computes dHash per blob (bytes never shuffle), then the
+    * shared 4-band pigeonhole join pairs signatures within `maxHamming`
+    * (exact for ≤ 3, mega-bucket capped). Undecodable blobs drop. */
+  def dHashPairs(media: DataFrame, maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sig = media.select(col("media_ref"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (ref, b) => (ref, dHash(b)) })
+      .toDF("media_ref", "simhash")
+      .na.drop(Seq("simhash"))
+    TrainingOps.hammingDupPairsFromSig(sig, "media_ref", maxHamming, maxBucket)
+      .select(col("doc_a").as("ref_a"), col("doc_b").as("ref_b"), col("hamming"))
+  }
+
   /** REAL WAV decode via javax.sound.sampled: (sampleRate, frames) as the
     * "dimensions", per-segment RMS amplitude as the feature vector. */
   def decodeWav(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {

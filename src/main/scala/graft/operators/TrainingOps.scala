@@ -246,12 +246,20 @@ object TrainingOps {
     * ONE corpus scan / signature pass, one exchange shared by the window
     * bucket-size cap and the member aggregation, pair expansion bounded by
     * `maxBucket`, hamming evaluated only on candidates. */
-  def simhashDupPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+  def simhashDupPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 64): DataFrame =
+    hammingDupPairsFromSig(simhash(docs), "doc_id", maxHamming, maxBucket)
+
+  /** 4-band pigeonhole pairing over ANY 64-bit signature table
+    * `(idCol, simhash: 64-char bit string)` — shared by text simhash and
+    * image dHash near-dup. Same exactness contract and `maxBucket` skew
+    * cap as [[simhashDupPairs]]; id type is caller's (long doc ids,
+    * string media refs — `least`/`greatest` order either). */
+  def hammingDupPairsFromSig(sig: DataFrame, idCol: String,
+                             maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
     require(maxHamming <= 3, "banding into 4 bands is exact only for maxHamming <= 3")
-    graft.expressions.HammingDist.register(docs.sparkSession)
-    val sim = simhash(docs)
-    val banded = sim
-      .select(col("doc_id"), col("simhash"),
+    graft.expressions.HammingDist.register(sig.sparkSession)
+    val banded = sig
+      .select(col(idCol).as("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bucket", expr("substring(simhash, band * 16 + 1, 16)"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))

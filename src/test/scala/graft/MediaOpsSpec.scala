@@ -114,6 +114,29 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(MediaOps.sampleFrames("image/gif", junk, 2, 2) == MediaOps.stubFrames(junk, 2, 2))
   }
 
+  test("dHash: gradient bits, sample-point invariance, garbage null, deterministic") {
+    def gray(f: Int => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val g = f(x) & 0xff; img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val asc = MediaOps.dHash(gray(x => x * 16))
+    assert(asc == "1" * 64) // luma strictly increases at every sample step
+    assert(MediaOps.dHash(gray(x => (15 - x) * 16)) == "0" * 64)
+    // altering a pixel no 9x8 sample point touches leaves the hash unchanged
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gray(x => x * 16)))
+    img.setRGB(15, 15, 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(MediaOps.dHash(bos.toByteArray) == asc)
+    assert(MediaOps.dHash("junk".getBytes("UTF-8")) == null)
+    assert(MediaOps.dHash(gray(x => x * 16)) == asc)
+  }
+
   test("decode dispatch: pdf payload falls back to the deterministic stub") {
     val bytes = "not an image".getBytes
     val (w, h, f1) = MediaOps.decode("application/pdf", bytes, 4)
