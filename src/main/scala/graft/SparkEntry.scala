@@ -1326,6 +1326,35 @@ object SparkEntry {
           .toDF("media_ref", "bytes")
         MediaOps.dHashPairs(media, maxHamming = 3)
       }),
+      // perceptual audio dedup: w2 is w1 at DOUBLE volume (byte dedup
+      // can't pair them; the energy-ordering hash is volume-invariant),
+      // w3 reverses the energy ramp and flips all 64 bits
+      "x_media_ahash" -> ((s: SparkSession, _: String) => {
+        import s.implicits._
+        def wav(amp: Int => Int): Array[Byte] = { // 65 segs x 16 frames, 16-bit LE mono
+          val n = 65 * 16
+          val data = new Array[Byte](n * 2)
+          for (i <- 0 until n) {
+            val v = amp(math.min(64, i * 65 / n))
+            data(2 * i) = (v & 0xff).toByte
+            data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          bos.toByteArray
+        }
+        val media = s.createDataset(Seq(
+          ("w1", wav(seg => (seg + 1) * 250)),
+          ("w2", wav(seg => (seg + 1) * 500)),
+          ("w3", wav(seg => (65 - seg) * 250)),
+          ("bad", "not audio".getBytes("UTF-8"))))
+          .toDF("media_ref", "bytes")
+        MediaOps.wavHashPairs(media, maxHamming = 3)
+      }),
       // curation decision table: per-source doc/pass/token rollup — flags
       // inline (pass-through overload), one tiny-key shuffle
       "q_source_curation" -> ((s: SparkSession, d: String) =>
@@ -1856,6 +1885,10 @@ object SparkEntry {
       // by construction: a2 == a at every sample point (distance 0), the
       // reversed gradient flips all 64 bits, the garbage blob drops
       "x_media_dhash" -> "SELECT * FROM (VALUES ('a', 'a2', 0)) AS t(ref_a, ref_b, hamming)",
+      // by construction: doubling volume multiplies every segment energy
+      // by 4 and preserves all 64 orderings (distance 0); the reversed
+      // ramp flips them all; the garbage blob drops
+      "x_media_ahash" -> "SELECT * FROM (VALUES ('w1', 'w2', 0)) AS t(ref_a, ref_b, hamming)",
       // the gopher pipeline with source carried through, collapsed to the
       // per-source curation rollup (SUM(BIGINT) → HUGEINT, hence the CASTs)
       "q_source_curation" -> ("""

@@ -135,6 +135,61 @@ object MediaOps {
       .select(col("doc_a").as("ref_a"), col("doc_b").as("ref_b"), col("hamming"))
   }
 
+  /** 64-bit perceptual audio hash — [[dHash]]'s audio twin: decode PCM,
+    * partition the samples into 65 segments, accumulate each segment's
+    * energy as an INTEGER sum of squared sample values (no division, no
+    * floats — bitwise reproducible), emit bit i = 1 iff
+    * `energy(i) < energy(i+1)`. The energy-profile gradient survives
+    * re-encoding/volume-preserving container changes the way dHash
+    * survives image re-encodes. Same 64-char bit-string format, so
+    * [[TrainingOps.hammingDupPairsFromSig]] applies unchanged. Null when
+    * the payload is not decodable audio. */
+  def wavHash(bytes: Array[Byte]): String = {
+    val in = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => return null }
+    try {
+      val fmt = in.getFormat
+      val data = in.readAllBytes()
+      val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+      val n = data.length / bytesPerSample
+      if (n == 0) return null
+      val energy = new Array[Long](65)
+      var i = 0
+      while (i < n) {
+        val v: Long =
+          if (bytesPerSample == 2) {
+            val lo = data(i * 2) & 0xff
+            val hi = data(i * 2 + 1)
+            ((hi << 8) | lo).toLong
+          } else ((data(i) & 0xff) - 128).toLong
+        val seg = math.min(64, i * 65 / n)
+        energy(seg) += v * v
+        i += 1
+      }
+      val sb = new java.lang.StringBuilder(64)
+      i = 0
+      while (i < 64) { sb.append(if (energy(i) < energy(i + 1)) '1' else '0'); i += 1 }
+      sb.toString
+    } catch { case _: Exception => null } finally in.close()
+  }
+
+  /** Near-duplicate AUDIO pairs by perceptual energy-profile hash — the
+    * audio leg of media dedup, same shape as [[dHashPairs]]: one narrow
+    * typed hashing pass (bytes never shuffle), shared 4-band pigeonhole
+    * join, undecodable blobs drop. */
+  def wavHashPairs(media: DataFrame, maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sig = media.select(col("media_ref"), col("bytes"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (ref, b) => (ref, wavHash(b)) })
+      .toDF("media_ref", "simhash")
+      .na.drop(Seq("simhash"))
+    TrainingOps.hammingDupPairsFromSig(sig, "media_ref", maxHamming, maxBucket)
+      .select(col("doc_a").as("ref_a"), col("doc_b").as("ref_b"), col("hamming"))
+  }
+
   /** REAL WAV decode via javax.sound.sampled: (sampleRate, frames) as the
     * "dimensions", per-segment RMS amplitude as the feature vector. */
   def decodeWav(bytes: Array[Byte], dim: Int): (Int, Int, Array[Float]) = {

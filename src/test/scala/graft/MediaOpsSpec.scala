@@ -137,6 +137,31 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(MediaOps.dHash(gray(x => x * 16)) == asc)
   }
 
+  test("wavHash: energy-ramp bits, volume invariance, garbage null") {
+    def rampWav(scale: Int, reversed: Boolean = false): Array[Byte] = {
+      val n = 65 * 16
+      val data = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val seg = math.min(64, i * 65 / n)
+        val v = (if (reversed) (65 - seg) else (seg + 1)) * scale
+        data(2 * i) = (v & 0xff).toByte
+        data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val h = MediaOps.wavHash(rampWav(250))
+    assert(h == "1" * 64) // strictly increasing segment energy
+    assert(MediaOps.wavHash(rampWav(500)) == h) // volume change preserves ordering
+    assert(MediaOps.wavHash(rampWav(250, reversed = true)) == "0" * 64)
+    assert(MediaOps.wavHash("junk".getBytes("UTF-8")) == null)
+  }
+
   test("decode dispatch: pdf payload falls back to the deterministic stub") {
     val bytes = "not an image".getBytes
     val (w, h, f1) = MediaOps.decode("application/pdf", bytes, 4)
