@@ -801,6 +801,34 @@ object SparkEntry {
         TrainingOps.dupNgramFraction(
           t(s, d, "documents").select(col("doc_id"), col("text")).unionByName(planted))
       }),
+      // exact-substring duplicate REMOVAL (Lee et al. ExactSubstr via gram
+      // cover): planted cross-doc pair shares a 15-token run (3 duplicated
+      // 13-gram starts merge into ONE removed span, unique prefix/suffix
+      // survive) and a self-repetition doc pins the within-document path
+      // (its separator token is outside every duplicated window and stays)
+      "q_remove_dup_spans" -> ((s: SparkSession, d: String) => {
+        import s.implicits._
+        val planted = Seq(
+          (930001L, "p1 p2 p3 c01 c02 c03 c04 c05 c06 c07 c08 c09 c10 c11 c12 c13 c14 c15 s1 s2"),
+          (930002L, "q1 q2 c01 c02 c03 c04 c05 c06 c07 c08 c09 c10 c11 c12 c13 c14 c15 r1 r2 r3"),
+          (930003L, "w01 w02 w03 w04 w05 w06 w07 w08 w09 w10 w11 w12 w13 mid " +
+            "w01 w02 w03 w04 w05 w06 w07 w08 w09 w10 w11 w12 w13"))
+          .toDF("doc_id", "text")
+        TrainingOps.removeDupNgramSpans(
+          t(s, d, "documents").select(col("doc_id"), col("text")).unionByName(planted))
+      }),
+      // corpus snapshot diff (incremental-recrawl CDC): prev drops the
+      // doc_id%7 residue (those surface as added), cur drops %11 (removed)
+      // and rewrites %5 texts (changed); unchanged rows never leave the op
+      "q_snapshot_diff" -> ((s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        val prev = docs.where(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text"))
+        val cur = docs.where(col("doc_id") % 11 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+        TrainingOps.snapshotDiff(prev, cur)
+      }),
       // scored contamination analysis: eval set = the 2 lowest-id corpus
       // docs, so those rows provably score 1.0 and the near-copies score
       // their overlap fraction
@@ -1664,6 +1692,41 @@ object SparkEntry {
            |SELECT doc_id, COUNT(*) AS n_grams, COUNT(CASE WHEN df >= 2 THEN 1 END) AS n_dup_grams,
            |  CAST(COUNT(CASE WHEN df >= 2 THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
            |FROM d GROUP BY doc_id""".stripMargin),
+      // same gram-cover construction: window frequency on gram STRINGS
+      // (Spark uses xxhash64 — identical absent collisions), same running-
+      // max coverage rule, same ordered reassembly
+      "q_remove_dup_spans" ->
+        ("""WITH d AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM (VALUES
+           |  (CAST(930001 AS BIGINT), 'p1 p2 p3 c01 c02 c03 c04 c05 c06 c07 c08 c09 c10 c11 c12 c13 c14 c15 s1 s2'),
+           |  (CAST(930002 AS BIGINT), 'q1 q2 c01 c02 c03 c04 c05 c06 c07 c08 c09 c10 c11 c12 c13 c14 c15 r1 r2 r3'),
+           |  (CAST(930003 AS BIGINT), 'w01 w02 w03 w04 w05 w06 w07 w08 w09 w10 w11 w12 w13 mid w01 w02 w03 w04 w05 w06 w07 w08 w09 w10 w11 w12 w13')) v(doc_id, text)),
+           |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+           |g AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS w,
+           |  unnest(list_transform(range(1, len(toks) + 1), i -> CASE WHEN i <= len(toks) - 12
+           |    THEN array_to_string(list_slice(toks, CAST(i AS BIGINT), CAST(i + 12 AS BIGINT)), ' ') END)) AS gr FROM t),
+           |f AS (SELECT doc_id, pos, w,
+           |  (gr IS NOT NULL AND COUNT(*) OVER (PARTITION BY gr) >= 2) AS dup_start FROM g),
+           |c AS (SELECT doc_id, pos, w, MAX(CASE WHEN dup_start THEN pos END) OVER
+           |  (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_start FROM f),
+           |k AS (SELECT doc_id, pos, w,
+           |  (last_start IS NOT NULL AND last_start >= pos - 12) AS covered FROM c)
+           |SELECT doc_id,
+           |  COALESCE(string_agg(CASE WHEN NOT covered THEN w END, ' ' ORDER BY pos), '') AS clean_text,
+           |  COUNT(*) AS n_tokens, COUNT(CASE WHEN covered THEN 1 END) AS n_removed
+           |FROM k GROUP BY doc_id""".stripMargin),
+      // text-comparing full outer join (Spark compares xxhash64(text) —
+      // identical absent collisions); unchanged rows excluded both sides
+      "q_snapshot_diff" ->
+        ("""WITH prev AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+           |cur AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+           |  FROM documents WHERE doc_id % 11 <> 0),
+           |j AS (SELECT COALESCE(prev.doc_id, cur.doc_id) AS doc_id,
+           |  CASE WHEN prev.doc_id IS NULL THEN 'added'
+           |       WHEN cur.doc_id IS NULL THEN 'removed'
+           |       WHEN prev.text <> cur.text THEN 'changed'
+           |       ELSE 'unchanged' END AS change
+           |  FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id)
+           |SELECT doc_id, change FROM j WHERE change <> 'unchanged'""".stripMargin),
       "q_contamination_score" ->
         ("""WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
            |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]

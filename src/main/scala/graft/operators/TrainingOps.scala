@@ -1418,4 +1418,95 @@ object TrainingOps {
       when(col("source") === s, lit(d)).otherwise(acc) }
     docs.where(u32 * den < num * lit(4294967296L))
   }
+
+  /** Exact-substring duplicate REMOVAL (the Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" ExactSubstr step, via the
+    * standard distributed gram-cover approximation instead of a monolithic
+    * suffix array): a token is cut from a document iff it is covered by
+    * some `n`-token window whose exact token sequence occurs at least
+    * `minCount` times in the whole corpus (counting repeats inside one
+    * document — self-repetition is duplication too). Overlapping duplicated
+    * windows merge into one removed span by construction, so any duplicated
+    * run of ≥ n tokens is removed end-to-end; survivors are reassembled in
+    * original order. Every document comes back ([[removeBoilerplateLines]]
+    * contract): a fully-duplicated doc returns `clean_text = ""` plus its
+    * token accounting, making the op a text rewrite, not a filter.
+    *
+    * Tokens split on single spaces (case-sensitive — exact means exact),
+    * so `clean_text` is byte-identical to the input wherever nothing was
+    * removed.
+    *
+    * Scale shape: one corpus scan; each token row carries its word plus
+    * the 8-byte xxhash64 of the n-gram STARTING at it (gram text is hashed
+    * inside the projection and never shuffles; tail positions with no
+    * full gram get a doc-unique salted hash so the frequency window has no
+    * null-key skew partition). Two exchanges total: gram-hash frequency
+    * (count-only WindowExec — constant state, spills never grow past the
+    * sort buffer) and doc_id (coverage window + ordered reassembly, buffer
+    * bounded by one document's token count). A corpus-wide boilerplate
+    * gram lands in one frequency partition — WindowExec sorts/spills it;
+    * pair with [[removeBoilerplateLines]] upstream to keep those rare.
+    * Exact modulo xxhash64 collisions (the oracle compares gram strings). */
+  def removeDupNgramSpans(docs: DataFrame, n: Int = 13, minCount: Long = 2): DataFrame = {
+    require(n >= 2, s"gram width must be >= 2, got $n")
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val toks = ws.select(col("doc_id"),
+        posexplode(transform(col("ws"), (w, i) => struct(
+          w.as("w"),
+          when(i <= size(col("ws")) - n,
+            xxhash64(concat_ws(" ", slice(col("ws"), i + 1, lit(n))))).as("gh"))))
+          .as(Seq("pos", "t")))
+      .select(col("doc_id"), col("pos"), col("t.w").as("w"),
+        col("t.gh").isNotNull.as("has_gram"),
+        coalesce(col("t.gh"),
+          xxhash64(concat(col("doc_id").cast("string"), lit(":tail:"),
+            col("pos").cast("string")))).as("gh"))
+    val freqW = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
+    val flagged = toks
+      .withColumn("dup_start", col("has_gram") && count(lit(1)).over(freqW) >= minCount)
+    // a token at pos is covered iff the latest duplicated-window start
+    // at-or-before it is within n-1 positions — one running max, no
+    // position-range self-join
+    val coverW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val covered = flagged
+      .withColumn("last_start", max(when(col("dup_start"), col("pos"))).over(coverW))
+      .withColumn("covered",
+        col("last_start").isNotNull && col("last_start") >= col("pos") - (n - 1))
+    // split("", " ") = [""] — every doc keeps >= 1 token row, so the
+    // aggregation alone returns every document (no outer join needed)
+    covered.groupBy(col("doc_id")).agg(
+      array_join(transform(
+        array_sort(collect_list(when(!col("covered"), struct(col("pos"), col("w"))))),
+        s => s.getField("w")), " ").as("clean_text"),
+      count(lit(1)).as("n_tokens"),
+      count(when(col("covered"), lit(1))).as("n_removed"))
+  }
+
+  /** Corpus snapshot diff (the CDC primitive for incremental recrawls):
+    * given the previous and current snapshots of a (doc_id, text) corpus,
+    * emit one row per difference — `added` (doc_id new in current),
+    * `removed` (gone from current), `changed` (present in both, text
+    * differs). Unchanged documents are dropped, so the output is
+    * delta-sized: the thing an incremental pipeline re-extracts, re-dedups
+    * and re-scores instead of reprocessing 10^12 rows from scratch.
+    *
+    * Scale shape: each side is reduced to (doc_id, xxhash64(text)) inside
+    * its own scan, so document text NEVER shuffles — the full-outer join
+    * moves 16 bytes per row on the doc_id key, partial-agg-free, AQE
+    * handles skew. Exact modulo xxhash64 text collisions (a collision
+    * reports `changed` rows as unchanged; the oracle compares texts). */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val p = prev.select(col("doc_id"), xxhash64(col("text")).as("prev_h"))
+    val c = cur.select(col("doc_id"), xxhash64(col("text")).as("cur_h"))
+    p.join(c, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("prev_h").isNull, lit("added"))
+          .when(col("cur_h").isNull, lit("removed"))
+          .when(col("prev_h") =!= col("cur_h"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change"))
+      .where(col("change") =!= "unchanged")
+  }
 }

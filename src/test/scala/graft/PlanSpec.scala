@@ -223,4 +223,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = spans.queryExecution.executedPlan.toString
     assert(p.contains("MapPartitions"), p) // kernel runs as a single narrow stage
   }
+
+  test("exact-substring removal: ONE corpus scan, two exchanges, gram text never shuffles") {
+    val df = operators.TrainingOps.removeDupNgramSpans(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // one scan feeds both windows: gram hashes are computed inside the
+    // projection below the frequency exchange, so the only exchanges are
+    // the 8-byte gh window and the doc_id coverage/reassembly window
+    assert("FileScan".r.findAllIn(p).size == 1, s"want 1 FileScan:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 2, s"want 2 exchanges, got ${exchanges.size}:\n$p")
+    exchanges.foreach(l =>
+      assert(!l.contains("text#"), s"text attribute crosses an exchange: $l\n$p"))
+  }
+
+  test("snapshot diff: sides reduce to (doc_id, xxhash64) below the join, text never shuffles") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val df = operators.TrainingOps.snapshotDiff(docs, docs)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(p.contains("xxhash64"), p)
+    p.linesIterator.filter(_.contains("Exchange")).foreach(l =>
+      assert(!l.contains("text#"), s"text attribute crosses an exchange: $l\n$p"))
+  }
 }

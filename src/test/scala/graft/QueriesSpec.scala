@@ -553,4 +553,52 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L).map(_._2).toSet == Set("a", "c")) // equal scores, both kept
     close(got(3L), List((3L, "d", 1L, ln(3.0 / 1)), (3L, "c", 2L, 2 * ln(3.0 / 2))))
   }
+
+  test("removeDupNgramSpans: cross-doc span merge, self-repetition, full removal, untouched doc") {
+    val sp = spark; import sp.implicits._
+    // n=3 grams. Docs 1,2 share the 4-token run "c1 c2 c3 c4" (two
+    // duplicated 3-gram starts merge into ONE removed interval); doc 3
+    // repeats "r1 r2 r3" within itself around a separator that survives;
+    // docs 4,5 are exact dups >= n tokens (full removal); doc 6 unique.
+    val docs = Seq(
+      (1L, "p1 p2 c1 c2 c3 c4 s1"),
+      (2L, "q1 c1 c2 c3 c4 t1 t2"),
+      (3L, "r1 r2 r3 mid r1 r2 r3"),
+      (4L, "x1 x2 x3 x4"),
+      (5L, "x1 x2 x3 x4"),
+      (6L, "u1 u2 u3 u4 u5")).toDF("doc_id", "text")
+    val got = operators.TrainingOps.removeDupNgramSpans(docs, n = 3)
+      .select("doc_id", "clean_text", "n_tokens", "n_removed")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "p1 p2 s1", 7L, 4L),
+      (2L, "q1 t1 t2", 7L, 4L),
+      (3L, "mid", 7L, 6L),
+      (4L, "", 4L, 4L),
+      (5L, "", 4L, 4L),
+      (6L, "u1 u2 u3 u4 u5", 5L, 0L)), s"got $got")
+  }
+
+  test("removeDupNgramSpans: docs shorter than n never match; empty text survives") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val got = operators.TrainingOps.removeDupNgramSpans(docs, n = 3)
+      .select("doc_id", "clean_text", "n_tokens", "n_removed")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    // 2-token docs carry no 3-gram -> tail-salted hashes, nothing flagged;
+    // "" splits to one empty token row, also untouched
+    assert(got == Seq((1L, "a b", 2L, 0L), (2L, "a b", 2L, 0L), (3L, "", 1L, 0L)), s"got $got")
+    intercept[IllegalArgumentException] {
+      operators.TrainingOps.removeDupNgramSpans(docs, n = 1)
+    }
+  }
+
+  test("snapshotDiff: added/removed/changed classified, unchanged suppressed") {
+    val sp = spark; import sp.implicits._
+    val prev = Seq((1L, "same"), (2L, "old text"), (3L, "gone")).toDF("doc_id", "text")
+    val cur = Seq((1L, "same"), (2L, "new text"), (4L, "fresh")).toDF("doc_id", "text")
+    val got = operators.TrainingOps.snapshotDiff(prev, cur)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((2L, "changed"), (3L, "removed"), (4L, "added")), s"got $got")
+  }
 }
