@@ -977,6 +977,35 @@ object SparkEntry {
               .select(col("doc_id"), expr(urlSynthSql).as("url")), col("url")),
             cap = 50, col("doc_id"))
           .select(col("doc_id"), col("domain"), col("rk"))),
+      // politeness-scheduled frontier: one url per host per fetch round,
+      // priority-ordered, per-host depth capped at 50 (WindowGroupLimit
+      // prunes mega-hosts at the cap on both sides of the shuffle)
+      "q_frontier_schedule" -> ((s: SparkSession, d: String) => {
+        val frontier = t(s, d, "documents").select(
+          concat(lit("https://"), col("source"), lit(".example.com/d/"),
+            col("doc_id").cast("string")).as("url"),
+          concat(col("source"), lit(".example.com")).as("host"),
+          (col("doc_id") % 97).as("priority"))
+        WebOps.frontierSchedule(frontier, col("priority"), maxRounds = 50)
+      }),
+      // interleaved-corpus referential integrity: dangling span refs and
+      // orphan media blobs classified by one full-outer join on DISTINCT
+      // refs; consistent refs produce no output
+      "x_ref_integrity" -> ((s: SparkSession, _: String) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val docs = sp.createDataset(Seq(
+          Model.DocRow("d1", Seq(Model.InSpan("text", "hello", "", 0),
+            Model.InSpan("pdf", "", "m1", 1),
+            Model.InSpan("image", "", "m_missing", 2))),
+          Model.DocRow("d2", Seq(Model.InSpan("pdf", "", "m2", 0),
+            Model.InSpan("pdf", "", "m1", 1))))).toDF()
+        val media = sp.createDataset(Seq(
+          Model.MediaRow("m1", Array[Byte](1), 0),
+          Model.MediaRow("m2", Array[Byte](2), 0),
+          Model.MediaRow("m_orphan", Array[Byte](3), 0))).toDF()
+        MediaOps.refIntegrity(docs, media)
+      }),
       // robots.txt compliance: parse wildcard-agent disallow groups from
       // raw robots bodies, then broadcast-anti-join the frontier on
       // (host, path-prefix) — politeness filtering as a plan, no UDFs
@@ -992,6 +1021,56 @@ object SparkEntry {
       // fixture — the URL list parseSitemaps' fetch loop starts from
       "x_robots_sitemaps" -> ((s: SparkSession, _: String) =>
         WebOps.robotsSitemaps(robotsFixture(s), col("host"), col("content"))),
+      // RFC 3986 reference resolution: raw in-content hrefs absolutized
+      // against their page URL — the step between linkRefs extraction and
+      // every frontier op; each case's ground truth is hand-derived
+      "x_resolve_urls" -> ((s: SparkSession, _: String) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val base = "https://a.com/dir/sub/page.html?q=1"
+        val pages = Seq(
+          (1L, base, "https://x.org/p"),
+          (2L, base, "//cdn.com/img"),
+          (3L, base, "/root/x"),
+          (4L, base, "?page=2"),
+          (5L, base, "#frag"),
+          (6L, base, "other.html"),
+          (7L, base, "../up.html"),
+          (8L, base, "a/b/../c/./d?x=1#f"),
+          (9L, "https://a.com", "rel"),
+          (10L, "notaurl", "rel"))
+          .toDF("doc_id", "url", "href")
+        WebOps.resolveUrls(WebOps.parseUrls(pages, col("url")), col("href"))
+          .select(col("doc_id"), col("href"), col("resolved"))
+      }),
+      // RFC 9309 FULL matching: * wildcards, trailing-$ anchors, Allow
+      // overrides, longest-match precedence (allow wins length ties) —
+      // each URL's ground truth is hand-derived in the VALUES oracle
+      "x_robots_full" -> ((s: SparkSession, _: String) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val robots = Seq(
+          ("w.com",
+            "User-agent: *\nDisallow: /*.php$\nDisallow: /fish*\nAllow: /fish/ok\n" +
+              "Disallow: /a$\nAllow: /dual\nDisallow: /dual"),
+          ("open.org", "User-agent: *\nAllow: /"))
+          .toDF("host", "content")
+        val rules = WebOps.parseRobotsRules(robots, col("host"), col("content"))
+        val urls = Seq(
+          (1L, "https://w.com/file.php"),     // dropped: /*.php$ anchored match
+          (2L, "https://w.com/file.php?q=1"), // kept: query breaks the $ anchor
+          (3L, "https://w.com/fishheads"),    // dropped: /fish* wildcard
+          (4L, "https://w.com/fish/ok/x"),    // kept: allow /fish/ok (8) beats /fish* (6)
+          (5L, "https://w.com/a"),            // dropped: /a$ exact
+          (6L, "https://w.com/ab"),           // kept: /a$ is end-anchored
+          (7L, "https://w.com/dual"),         // kept: equal length -> allow wins
+          (8L, "https://w.com/"),             // kept: no rule matches
+          (9L, "https://open.org/x"),         // kept: allow-all
+          (10L, "https://nada.io/y"))         // kept: no rules for host
+          .toDF("doc_id", "url")
+        WebOps.robotsFilterFull(WebOps.parseUrls(urls, col("url")), rules)
+          .select(col("doc_id"), col("host"), col("url_norm"))
+      }),
       // link-graph degrees (popularity prior): union + ONE node-keyed
       // aggregation with map-side partial sums
       "q_graph_degrees" -> ((s: SparkSession, d: String) => {
@@ -1879,6 +1958,18 @@ object SparkEntry {
         (urlParseOracleCte + "\nSELECT doc_id, domain, rk FROM (SELECT doc_id, domain, " +
           "ROW_NUMBER() OVER (PARTITION BY domain ORDER BY md5(doc_id::VARCHAR || ':cap'), doc_id) AS rk " +
           "FROM parsed) t WHERE rk <= 50"),
+      // same window: priority DESC, url string tie-break, 0-based round
+      "q_frontier_schedule" ->
+        ("""WITH f AS (SELECT 'https://' || source || '.example.com/d/' || doc_id AS url,
+           |  source || '.example.com' AS host, doc_id % 97 AS priority FROM documents),
+           |r AS (SELECT url, host,
+           |  ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority DESC, url) AS rk FROM f)
+           |SELECT url, host, CAST(rk - 1 AS BIGINT) AS fetch_round FROM r WHERE rk <= 50""".stripMargin),
+      // hand-derived from the inline fixture: m_missing referenced but
+      // not stored, m_orphan stored but never referenced; m1/m2 consistent
+      "x_ref_integrity" ->
+        ("SELECT media_ref, status FROM (VALUES ('m_missing', 'dangling'), " +
+          "('m_orphan', 'orphan')) t(media_ref, status)"),
       "q_term_doc_freq" ->
         ("SELECT term, CAST(COUNT(*) AS BIGINT) AS tf, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM " +
           "(SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents) t " +
@@ -1934,6 +2025,29 @@ object SparkEntry {
         "('blocked.org', 0, 'https://cdn.blocked.org/sm1.xml'), " +
         "('blocked.org', 1, 'https://cdn.blocked.org/sm2.xml')" +
         ") AS t(host, pos, sitemap)"),
+      // hand-derived RFC 3986 resolutions for the inline href fixture
+      "x_resolve_urls" -> ("SELECT CAST(doc_id AS BIGINT) AS doc_id, href, resolved FROM (VALUES " +
+        "(1, 'https://x.org/p', 'https://x.org/p'), " +
+        "(2, '//cdn.com/img', 'https://cdn.com/img'), " +
+        "(3, '/root/x', 'https://a.com/root/x'), " +
+        "(4, '?page=2', 'https://a.com/dir/sub/page.html?page=2'), " +
+        "(5, '#frag', 'https://a.com/dir/sub/page.html?q=1'), " +
+        "(6, 'other.html', 'https://a.com/dir/sub/other.html'), " +
+        "(7, '../up.html', 'https://a.com/dir/up.html'), " +
+        "(8, 'a/b/../c/./d?x=1#f', 'https://a.com/dir/sub/a/c/d?x=1'), " +
+        "(9, 'rel', 'https://a.com/rel'), " +
+        "(10, 'rel', '')" +
+        ") AS t(doc_id, href, resolved)"),
+      // hand-derived RFC 9309 ground truth (see the query's per-URL notes)
+      "x_robots_full" -> ("SELECT CAST(doc_id AS BIGINT) AS doc_id, host, url_norm FROM (VALUES " +
+        "(2, 'w.com', 'https://w.com/file.php?q=1'), " +
+        "(4, 'w.com', 'https://w.com/fish/ok/x'), " +
+        "(6, 'w.com', 'https://w.com/ab'), " +
+        "(7, 'w.com', 'https://w.com/dual'), " +
+        "(8, 'w.com', 'https://w.com/'), " +
+        "(9, 'open.org', 'https://open.org/x'), " +
+        "(10, 'nada.io', 'https://nada.io/y')" +
+        ") AS t(doc_id, host, url_norm)"),
       "x_html_meta" -> htmlMetaOracle,
       // hand-derived from the two inline fixtures (nav grid skipped, implied
       // closes, entity decode, intra-cell block boundary = space, nested

@@ -419,4 +419,31 @@ object MediaOps {
       }
     }
   }
+
+  /** Referential-integrity audit over the interleaved corpus: the
+    * docs-side spans reference media blobs by `media_ref`; this reports
+    * every ref that is `dangling` (a span points at a blob the media
+    * table doesn't have — extraction would emit an error span) or
+    * `orphan` (a stored blob no span references — dead weight a
+    * compaction can drop). Consistent refs produce no output, so the
+    * audit is delta-sized: the thing an ingest pipeline alerts on.
+    *
+    * Scale shape: both sides collapse to DISTINCT refs inside their own
+    * scans (partial-aggregated, so the shuffle carries unique ref keys,
+    * never span structs or blob bytes — the media scan reads only the
+    * `media_ref` column thanks to pruning); then one full-outer join on
+    * the ref key classifies. Text spans (`media_ref = ""`) are excluded
+    * by definition. */
+  def refIntegrity(docs: DataFrame, media: DataFrame): DataFrame = {
+    val used = docs.select(explode(col("spans.media_ref")).as("media_ref"))
+      .where(col("media_ref") =!= "").distinct()
+      .withColumn("used", lit(1))
+    val have = media.select(col("media_ref")).distinct().withColumn("have", lit(1))
+    used.join(have, Seq("media_ref"), "full_outer")
+      .select(col("media_ref"),
+        when(col("have").isNull, lit("dangling"))
+          .when(col("used").isNull, lit("orphan"))
+          .otherwise(lit("ok")).as("status"))
+      .where(col("status") =!= "ok")
+  }
 }

@@ -157,6 +157,156 @@ object WebOps {
     * to a 10^12-row frontier — so the anti-join broadcasts the rules and
     * nothing shuffles; the prefix test rides the hash join's extra
     * condition. Requires [[parseUrls]] columns (`host`, `url_norm`). */
+  /** Resolve an in-content href against its page URL (RFC 3986 §5
+    * reference resolution) — the step between [[graft.html.Html.linkRefs]]
+    * extraction and frontier ops, since real pages link relatively.
+    * Handles: absolute hrefs (any scheme) pass through; protocol-relative
+    * `//host/p` takes the page scheme; root-relative `/p` takes the page
+    * authority; query-only `?q` replaces the page query; empty/
+    * fragment-only resolves to the page itself; relative paths merge with
+    * the page's base directory. Fragments are stripped from the result (a
+    * frontier never fetches them). Dot segments (`.` and `..`) are
+    * removed by a bounded unrolled rewrite — exact for nesting depth ≤ 8,
+    * which covers real markup (the unroll bound is the documented limit;
+    * deeper chains keep their residue). `..` above the root collapses to
+    * the root, per the spec. Everything is codegen'd string expressions —
+    * one narrow pass, no UDF, no shuffle. Input must carry `url_norm`
+    * (from [[parseUrls]]); `href` is the raw attribute value. Pages whose
+    * base failed to parse (`url_norm = ""`) resolve relative hrefs to ""
+    * (the caller's drop signal) while absolute hrefs still pass. */
+  def resolveUrls(parsed: DataFrame, href: Column, out: String = "resolved"): DataFrame = {
+    val h = regexp_replace(href, "#.*", "") // frontier never keeps fragments
+    val bscheme = regexp_extract(col("url_norm"), "^([a-z0-9+.-]+):", 1)
+    val bauth = regexp_extract(col("url_norm"), "^([a-z0-9+.-]+://[^/?#]*)", 1)
+    val bpathq = regexp_extract(col("url_norm"), "^[a-z0-9+.-]+://[^/?#]*(.*)$", 1)
+    val bpath = regexp_extract(bpathq, "^([^?]*)", 1)
+    // base directory: path up to and including the last '/'
+    val bdir = when(bpath.contains("/"), regexp_extract(bpath, "^(.*/)", 1)).otherwise(lit("/"))
+    val isAbs = h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:")
+    val merged =
+      when(h.startsWith("//"), concat(bscheme, lit(":"), h))
+        .when(h.startsWith("/"), concat(bauth, h))
+        .when(h.startsWith("?"), concat(bauth, bpath, h))
+        .when(h === "", concat(bauth, bpathq))
+        .otherwise(concat(bauth, bdir, h))
+    // dot-segment removal on the path part only ('..' in a query is
+    // literal data); 8 unrolled fixed-point rounds, spec edge cases per
+    // round: interior '/./', trailing '/.', interior '/x/../', '..'
+    // at/above root, trailing '/x/..'
+    val far = lit(1 << 20)
+    val pre = regexp_extract(merged, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    val rest = merged.substr(length(pre) + 1, far)
+    val path1 = regexp_extract(rest, "^([^?]*)", 1)
+    val query1 = rest.substr(length(path1) + 1, far)
+    val cleaned = (1 to 8).foldLeft(path1) { (p, _) =>
+      val a = regexp_replace(p, "/\\.(/|$)", "/")          // '/./' and trailing '/.'
+      val b = regexp_replace(a, "/[^/]+/\\.\\.(/|$)", "/") // '/x/../' and trailing '/x/..'
+      regexp_replace(b, "^(/\\.\\.)+(/|$)", "/")           // '..' above root -> root
+    }
+    val resolved = when(isAbs, h) // absolute hrefs pass through unchanged
+      .when(col("url_norm") === "", lit(""))
+      .otherwise(concat(pre, cleaned, query1))
+    parsed.withColumn(out, resolved)
+  }
+
+  /** Full robots.txt rule parse (RFC 9309): like [[parseRobots]] but
+    * emits BOTH `allow` and `disallow` rules for the wildcard-agent
+    * group, preserving the raw patterns (which may contain `*` wildcards
+    * and a trailing `$` end-anchor) for [[robotsFilterFull]]'s
+    * longest-match evaluation. Same consecutive-User-agent group
+    * semantics, comment stripping and case handling as [[parseRobots]];
+    * empty rule values carry no information under longest-match and are
+    * dropped. Output: (host, rule, pattern). */
+  def parseRobotsRules(robots: DataFrame, host: Column, content: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("host")).orderBy(col("ln"))
+    val cls = robots
+      .select(host.as("host"), posexplode(split(content, "\n")).as(Seq("ln", "raw")))
+      .withColumn("line", trim(regexp_replace(col("raw"), "#.*", "")))
+      .withColumn("is_ua", lower(col("line")).startsWith("user-agent:"))
+      .withColumn("ua", when(col("is_ua"), trim(expr("substring(line, 12)"))))
+      .withColumn("rule",
+        when(lower(col("line")).startsWith("disallow:"), lit("disallow"))
+          .when(lower(col("line")).startsWith("allow:"), lit("allow")))
+      .withColumn("pattern",
+        when(col("rule") === "disallow", trim(expr("substring(line, 10)")))
+          .when(col("rule") === "allow", trim(expr("substring(line, 7)"))))
+    val grouped = cls
+      .withColumn("new_grp",
+        col("is_ua") && !coalesce(lag(col("is_ua"), 1).over(w), lit(false)))
+      .withColumn("grp", sum(when(col("new_grp"), 1).otherwise(0)).over(w))
+    val starGroups = grouped.where(col("ua") === "*")
+      .select(col("host"), col("grp")).distinct()
+    grouped.where(col("rule").isNotNull && col("pattern") =!= "")
+      .join(starGroups, Seq("host", "grp"))
+      .select(col("host"), col("rule"), col("pattern"))
+      .distinct()
+  }
+
+  /** RFC 9309 robots compliance filter — the full matching semantics the
+    * prefix-only [[robotsFilter]] documents as out of scope: `*` in a
+    * pattern matches any octet sequence, a trailing `$` anchors the end
+    * of the path (elsewhere `$` is literal), and when several rules match
+    * a path the MOST SPECIFIC wins — longest pattern in octets, an
+    * `allow` beating a `disallow` of equal length. A URL survives iff no
+    * rule matches or the winning rule is an allow. An empty path
+    * evaluates as "/" per the spec.
+    *
+    * The rule patterns compile to anchored regexes INSIDE the plan
+    * (escape metachars → `*` to `.*` → trailing `$` re-anchored), so the
+    * whole filter is expressions — no UDF. Rules are host-cardinality:
+    * the inner match join broadcasts them and the frontier never
+    * shuffles; the winner aggregation groups by the frontier row id,
+    * whose partial agg carries a 12-byte (len, allow) pair per matched
+    * row. RLIKE against a non-literal pattern recompiles per row — the
+    * per-URL cost is rules-per-host, a small constant for real sites. */
+  def robotsFilterFull(parsed: DataFrame, rules: DataFrame,
+                       idCol: String = "doc_id"): DataFrame = {
+    val path0 = regexp_extract(col("url_norm"), "^[a-z0-9+.-]+://[^/?#]*(.*)$", 1)
+    val withPath = parsed.withColumn("_path", when(path0 === "", lit("/")).otherwise(path0))
+    val compiled = rules
+      .select(col("host").as("r_host"), col("rule"), col("pattern"))
+      .withColumn("_esc",
+        regexp_replace(col("pattern"), "([.^$+?(){}\\[\\]\\\\|*])", "\\\\$1"))
+      .withColumn("_star", expr("replace(_esc, '\\\\*', '.*')"))
+      .withColumn("_rx", concat(lit("^"),
+        when(expr("right(_star, 2) = '\\\\$'"),
+          concat(expr("substring(_star, 1, length(_star) - 2)"), lit("$")))
+          .otherwise(col("_star"))))
+    val winners = withPath
+      .join(broadcast(compiled),
+        withPath("host") === compiled("r_host") && expr("_path RLIKE _rx"), "inner")
+      .groupBy(col(idCol).as("_id"))
+      .agg(max(struct(length(col("pattern")).as("l"),
+        (col("rule") === "allow").cast("int").as("a"))).as("w"))
+      .where(col("w.a") === 0)
+      .select(col("_id"))
+    parsed.join(winners, parsed(idCol) === winners("_id"), "left_anti")
+  }
+
+  /** Politeness-scheduled crawl frontier: a crawler fetches at most ONE
+    * url per host per round (the per-host rate limit every polite crawler
+    * enforces), so the frontier op assigns each url the 0-based
+    * `fetch_round` in which it becomes eligible — highest `priority`
+    * first within its host, url string as the deterministic tie-break.
+    * `maxRounds` caps per-host queue depth: a mega-host's tail beyond the
+    * cap is dropped rather than scheduled into rounds nobody will reach,
+    * which also bounds the op's output per key.
+    *
+    * Scale shape: ONE exchange keyed on host; the `rk <= maxRounds`
+    * filter sits directly on the row_number so Spark's WindowGroupLimit
+    * rule prunes each sort group at the cap on BOTH sides of the shuffle
+    * (same shape as [[domainCapSample]]) — a host with 10^8 frontier
+    * urls never materializes past maxRounds rows. */
+  def frontierSchedule(frontier: DataFrame, priority: Column,
+                       maxRounds: Int): DataFrame = {
+    require(maxRounds > 0, s"maxRounds must be positive, got $maxRounds")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(priority.desc, col("url"))
+    frontier.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= maxRounds)
+      .select(col("url"), col("host"), (col("rk") - 1).as("fetch_round"))
+  }
+
   def robotsFilter(parsed: DataFrame, rules: DataFrame): DataFrame = {
     val path = regexp_extract(col("url_norm"), "^[a-z0-9+.-]+://[^/?#]*(.*)$", 1)
     val withPath = parsed.withColumn("path", path)

@@ -593,6 +593,28 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("refIntegrity: dangling and orphan refs reported once, consistent refs silent") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = sp.createDataset(Seq(
+      Model.DocRow("d1", Seq(Model.InSpan("text", "t", "", 0),
+        Model.InSpan("pdf", "", "m1", 1),
+        Model.InSpan("image", "", "gone", 2))),
+      // second reference to a dangling ref must not duplicate the report
+      Model.DocRow("d2", Seq(Model.InSpan("pdf", "", "gone", 0),
+        Model.InSpan("pdf", "", "m1", 1))))).toDF()
+    val media = sp.createDataset(Seq(
+      Model.MediaRow("m1", Array[Byte](1), 0),
+      Model.MediaRow("dead", Array[Byte](2), 0))).toDF()
+    val got = operators.MediaOps.refIntegrity(docs, media)
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("gone", "dangling"), ("dead", "orphan")), s"got $got")
+    // fully consistent corpus -> empty audit
+    val clean = operators.MediaOps.refIntegrity(
+      docs.where(col("doc_id") === "none"), media.where(col("media_ref") === "none"))
+    assert(clean.count() == 0)
+  }
+
   test("snapshotDiff: added/removed/changed classified, unchanged suppressed") {
     val sp = spark; import sp.implicits._
     val prev = Seq((1L, "same"), (2L, "old text"), (3L, "gone")).toDF("doc_id", "text")

@@ -154,4 +154,99 @@ class WebOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(3L, 4L, 6L))
   }
+
+  test("resolveUrls: RFC 3986 reference resolution incl. dot segments") {
+    val sp = spark; import sp.implicits._
+    def res(url: String, href: String): String = {
+      val df = WebOps.parseUrls(Seq((url, href)).toDF("url", "href"), col("url"))
+      WebOps.resolveUrls(df, col("href")).select("resolved").as[String].head()
+    }
+    val base = "https://a.com/dir/sub/page.html?q=1"
+    assert(res(base, "https://x.org/p") == "https://x.org/p")     // absolute
+    assert(res(base, "mailto:x@y.z") == "mailto:x@y.z")           // non-http scheme
+    assert(res(base, "//cdn.com/img") == "https://cdn.com/img")   // protocol-relative
+    assert(res(base, "/root/x") == "https://a.com/root/x")        // root-relative
+    assert(res(base, "?page=2") == "https://a.com/dir/sub/page.html?page=2")
+    assert(res(base, "") == "https://a.com/dir/sub/page.html?q=1") // self
+    assert(res(base, "#frag") == "https://a.com/dir/sub/page.html?q=1")
+    assert(res(base, "other.html") == "https://a.com/dir/sub/other.html")
+    assert(res(base, "./other.html") == "https://a.com/dir/sub/other.html")
+    assert(res(base, "../up.html") == "https://a.com/dir/up.html")
+    assert(res(base, "../../../../beyond") == "https://a.com/beyond") // above root clamps
+    assert(res(base, "a/b/../c/./d?x=1#f") == "https://a.com/dir/sub/a/c/d?x=1")
+    assert(res("https://a.com", "rel") == "https://a.com/rel")    // empty base path
+    assert(res("not a url", "rel") == "")                          // unparseable base
+    assert(res("not a url", "https://ok.com/x") == "https://ok.com/x")
+  }
+
+  test("parseRobotsRules: allow + disallow captured for star group, empties dropped") {
+    val sp = spark; import sp.implicits._
+    val robots = Seq(("a.com",
+      "User-agent: googlebot\nDisallow: /g\n\n" +
+        "User-agent: *\nDisallow: /x\nAllow: /x/ok # comment\nALLOW: /y\nDisallow:\nAllow:"))
+      .toDF("host", "content")
+    val got = WebOps.parseRobotsRules(robots, col("host"), col("content"))
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(("a.com", "disallow", "/x"), ("a.com", "allow", "/x/ok"),
+      ("a.com", "allow", "/y")), s"got $got")
+  }
+
+  test("robotsFilterFull: RFC 9309 wildcard, anchor, longest-match and tie semantics") {
+    val sp = spark; import sp.implicits._
+    def kept(rules: Seq[(String, String, String)], urls: Seq[(Long, String)]): Set[Long] = {
+      val r = rules.toDF("host", "rule", "pattern")
+      val u = WebOps.parseUrls(urls.toDF("doc_id", "url"), col("url"))
+      WebOps.robotsFilterFull(u, r).select("doc_id").as[Long].collect().toSet
+    }
+    // spec examples: /fish* ; /*.php$ ; mid-pattern $ is literal
+    val rules = Seq(
+      ("a.com", "disallow", "/fish*"),
+      ("a.com", "allow", "/fish/ok"),
+      ("a.com", "disallow", "/*.php$"),
+      ("a.com", "disallow", "/lit$eral"),
+      ("a.com", "allow", "/tie"),
+      ("a.com", "disallow", "/tie"),
+      ("b.com", "disallow", "/"))
+    val urls = Seq(
+      (1L, "https://a.com/fish"),          // dropped: /fish* matches bare /fish
+      (2L, "https://a.com/fishheads?x=1"), // dropped: wildcard spans path+query
+      (3L, "https://a.com/fish/ok"),       // kept: longer allow wins
+      (4L, "https://a.com/Fish"),          // kept: patterns are case-sensitive
+      (5L, "https://a.com/p.php"),         // dropped: anchored suffix
+      (6L, "https://a.com/p.phpx"),        // kept: $ anchors the end
+      (7L, "https://a.com/lit$eral"),      // dropped: mid-pattern $ is literal
+      (8L, "https://a.com/tie"),           // kept: equal-length tie -> allow
+      (9L, "https://b.com"),               // dropped: empty path evaluates as "/"
+      (10L, "https://c.com/x"))            // kept: no rules for host
+    assert(kept(rules, urls) == Set(3L, 4L, 6L, 8L, 10L))
+    // regex metacharacters in patterns stay literal
+    assert(kept(Seq(("a.com", "disallow", "/a(b)+c")),
+      Seq((1L, "https://a.com/a(b)+c"), (2L, "https://a.com/abbc"))) == Set(2L))
+  }
+
+  test("frontierSchedule: priority order per host, url tie-break, depth cap, stability") {
+    val sp = spark; import sp.implicits._
+    val frontier = Seq(
+      ("https://a.com/low", "a.com", 1L),
+      ("https://a.com/hi", "a.com", 9L),
+      ("https://a.com/tie2", "a.com", 5L),
+      ("https://a.com/tie1", "a.com", 5L),
+      ("https://a.com/cut", "a.com", 0L), // 5th by priority -> dropped at cap 4
+      ("https://b.com/only", "b.com", 2L))
+      .toDF("url", "host", "priority")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      WebOps.frontierSchedule(df, col("priority"), maxRounds = 4)
+        .as[(String, String, Long)].collect().toSet
+    val got = run(frontier)
+    assert(got == Set(
+      ("https://a.com/hi", "a.com", 0L),
+      ("https://a.com/tie1", "a.com", 1L), // equal priority: url string order
+      ("https://a.com/tie2", "a.com", 2L),
+      ("https://a.com/low", "a.com", 3L),
+      ("https://b.com/only", "b.com", 0L)), s"got $got")
+    assert(run(frontier.repartition(7)) == got) // repartition-stable
+    intercept[IllegalArgumentException] {
+      WebOps.frontierSchedule(frontier, col("priority"), maxRounds = 0)
+    }
+  }
 }
