@@ -801,6 +801,19 @@ object SparkEntry {
         TrainingOps.dupNgramFraction(
           t(s, d, "documents").select(col("doc_id"), col("text")).unionByName(planted))
       }),
+      // Unicode NFC canonicalization (native codegen graft_nfc; ASCII
+      // short-circuits): planted decomposed-é and Hangul-jamo rows compose,
+      // precomposed/ASCII rows pass through byte-identical
+      "q_nfc_normalize" -> ((s: SparkSession, d: String) => {
+        import s.implicits._
+        val planted = Seq(
+          (940001L, "cafe\u0301 latte"), // decomposed e + combining acute
+          (940002L, "caf\u00e9"),        // already precomposed
+          (940003L, "ascii only"),
+          (940004L, "\u1100\u1161")).toDF("doc_id", "text") // Hangul jamo -> U+AC00
+        TrainingOps.normalizeNfc(
+          t(s, d, "documents").select(col("doc_id"), col("text")).unionByName(planted))
+      }),
       // exact-substring duplicate REMOVAL (Lee et al. ExactSubstr via gram
       // cover): planted cross-doc pair shares a 15-token run (3 duplicated
       // 13-gram starts merge into ONE removed span, unique prefix/suffix
@@ -1771,6 +1784,15 @@ object SparkEntry {
            |SELECT doc_id, COUNT(*) AS n_grams, COUNT(CASE WHEN df >= 2 THEN 1 END) AS n_dup_grams,
            |  CAST(COUNT(CASE WHEN df >= 2 THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
            |FROM d GROUP BY doc_id""".stripMargin),
+      // DuckDB's nfc_normalize runs the same Unicode canonical-composition
+      // algorithm as java.text.Normalizer — whole column hash-compared
+      "q_nfc_normalize" ->
+        ("""WITH d AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM (VALUES
+           |  (CAST(940001 AS BIGINT), 'cafe' || chr(769) || ' latte'),
+           |  (CAST(940002 AS BIGINT), 'caf' || chr(233)),
+           |  (CAST(940003 AS BIGINT), 'ascii only'),
+           |  (CAST(940004 AS BIGINT), chr(4352) || chr(4449))) v(doc_id, text))
+           |SELECT doc_id, nfc_normalize(text) AS text FROM d""".stripMargin),
       // same gram-cover construction: window frequency on gram STRINGS
       // (Spark uses xxhash64 — identical absent collisions), same running-
       // max coverage rule, same ordered reassembly

@@ -117,5 +117,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           require(exprs.length == 2, s"${HammingDist.name} takes exactly 2 arguments")
           HammingDist(exprs.head, exprs(1))
         }))
+    ext.injectFunction(
+      (FunctionIdentifier(NfcNormalize.name),
+        new ExpressionInfo(classOf[NfcNormalize].getName, NfcNormalize.name),
+        { exprs: Seq[Expression] =>
+          require(exprs.length == 1, s"${NfcNormalize.name} takes exactly 1 argument")
+          NfcNormalize(exprs.head)
+        }))
   }
 }

@@ -1485,6 +1485,21 @@ object TrainingOps {
       count(when(col("covered"), lit(1))).as("n_removed"))
   }
 
+  /** Unicode NFC canonicalization of document text — run BEFORE any
+    * exact-hash dedup ([[dedupExact]], [[dedupExactByHash]],
+    * [[snapshotDiff]]): the web serves the same visible string both
+    * precomposed (U+00E9) and decomposed (U+0065 U+0301), and without
+    * canonical composition those hash as distinct documents. Built on the
+    * native codegen expression [[graft.expressions.NfcNormalize]] (ASCII
+    * rows short-circuit with zero allocation inside whole-stage codegen;
+    * a UDF would break the codegen span). One narrow pass, no shuffle.
+    * DuckDB's `nfc_normalize` implements the same Unicode algorithm, so
+    * the whole output is cross-engine hash-comparable. */
+  def normalizeNfc(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    graft.expressions.NfcNormalize.register(docs.sparkSession)
+    docs.withColumn(textCol, expr(s"graft_nfc($textCol)"))
+  }
+
   /** Corpus snapshot diff (the CDC primitive for incremental recrawls):
     * given the previous and current snapshots of a (doc_id, text) corpus,
     * emit one row per difference — `added` (doc_id new in current),
