@@ -801,6 +801,21 @@ object SparkEntry {
         TrainingOps.dupNgramFraction(
           t(s, d, "documents").select(col("doc_id"), col("text")).unionByName(planted))
       }),
+      // mojibake repair (native codegen graft_fix_mojibake): planted
+      // single-encoded, 3-byte-sequence and double-encoded corruptions
+      // repair; healthy accented text and ASCII are fixpoints (the whole
+      // ASCII corpus passes through byte-identical)
+      "q_fix_mojibake" -> ((s: SparkSession, d: String) => {
+        import s.implicits._
+        val planted = Seq(
+          (950001L, "Caf\u00c3\u00a9"),                    // utf8(e-acute) read as cp1252
+          (950002L, "don\u00e2\u20ac\u2122t stop"),        // utf8(U+2019) read as cp1252
+          (950003L, "Caf\u00c3\u0192\u00c2\u00a9"),        // double-encoded e-acute
+          (950004L, "Caf\u00e9 propre"),                   // healthy text: fixpoint
+          (950005L, "plain ascii")).toDF("doc_id", "text")
+        TrainingOps.fixMojibake(
+          t(s, d, "documents").select(col("doc_id"), col("text")).unionByName(planted))
+      }),
       // Unicode NFC canonicalization (native codegen graft_nfc; ASCII
       // short-circuits): planted decomposed-é and Hangul-jamo rows compose,
       // precomposed/ASCII rows pass through byte-identical
@@ -1240,6 +1255,26 @@ object SparkEntry {
         s.createDataset(wave2).toDF().write.mode("append").parquet(s"$tmp/in")
         graft.streaming.StreamingOps.runScrubBoilerplateStream(s, s"$tmp/in", hashes, s"$tmp/out")
         s.read.parquet(s"$tmp/out/scrubbed").select(col("doc_id"), col("clean_text"))
+      }),
+      // streaming ingest text repair: mojibake reversal + NFC composition
+      // as stateless native-codegen rewrites in a checkpointed plan,
+      // across two AvailableNow runs (encoding repair happens BEFORE any
+      // downstream state hashes the broken form)
+      "x_stream_repair" -> ((s: SparkSession, _: String) => withShufflePartitions(s, 4) {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-srepair").toString
+        def ts(m: Int) = new java.sql.Timestamp(1767225600000L + m * 60000L)
+        import graft.streaming.StreamingOps.TimedDoc
+        val wave1 = Seq(
+          TimedDoc(21, "Caf\u00c3\u00a9", "web", ts(0)),     // mojibake
+          TimedDoc(22, "cafe\u0301", "web", ts(1)),          // decomposed
+          TimedDoc(23, "plain", "books", ts(2)))
+        val wave2 = Seq(TimedDoc(24, "don\u00e2\u20ac\u2122t", "cc", ts(3)))
+        s.createDataset(wave1).toDF().write.mode("append").parquet(s"$tmp/in")
+        graft.streaming.StreamingOps.runRepairTextStream(s, s"$tmp/in", s"$tmp/out")
+        s.createDataset(wave2).toDF().write.mode("append").parquet(s"$tmp/in")
+        graft.streaming.StreamingOps.runRepairTextStream(s, s"$tmp/in", s"$tmp/out")
+        s.read.parquet(s"$tmp/out/repaired").select(col("doc_id"), col("clean_text"))
       }),
       // streaming ingest decontamination: the constant-folded bloom
       // literal + exact-hash verify as a stateless filter inside a
@@ -1784,6 +1819,17 @@ object SparkEntry {
            |SELECT doc_id, COUNT(*) AS n_grams, COUNT(CASE WHEN df >= 2 THEN 1 END) AS n_dup_grams,
            |  CAST(COUNT(CASE WHEN df >= 2 THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
            |FROM d GROUP BY doc_id""".stripMargin),
+      // repair is not SQL-expressible, but its EXPECTED OUTPUT is: the
+      // ASCII corpus passes through verbatim and each planted row's
+      // repaired form is hand-derived (chr codes = the true code points)
+      "q_fix_mojibake" ->
+        ("""WITH d AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM (VALUES
+           |  (CAST(950001 AS BIGINT), 'Caf' || chr(233)),
+           |  (CAST(950002 AS BIGINT), 'don' || chr(8217) || 't stop'),
+           |  (CAST(950003 AS BIGINT), 'Caf' || chr(233)),
+           |  (CAST(950004 AS BIGINT), 'Caf' || chr(233) || ' propre'),
+           |  (CAST(950005 AS BIGINT), 'plain ascii')) v(doc_id, text))
+           |SELECT doc_id, text FROM d""".stripMargin),
       // DuckDB's nfc_normalize runs the same Unicode canonical-composition
       // algorithm as java.text.Normalizer — whole column hash-compared
       "q_nfc_normalize" ->
@@ -2031,6 +2077,11 @@ object SparkEntry {
         ("SELECT CAST(doc_id AS BIGINT) AS doc_id, clean_text FROM (VALUES " +
           "(11, 'keep a' || chr(10) || 'keep b'), (12, ''), (13, 'clean only'), " +
           "(14, 'also keep')) AS t(doc_id, clean_text)"),
+      // hand-derived repaired+composed forms (chr codes = true code points)
+      "x_stream_repair" ->
+        ("SELECT CAST(doc_id AS BIGINT) AS doc_id, clean_text FROM (VALUES " +
+          "(21, 'Caf' || chr(233)), (22, 'caf' || chr(233)), (23, 'plain'), " +
+          "(24, 'don' || chr(8217) || 't')) AS t(doc_id, clean_text)"),
       "q_media_gif_frames" -> mediaGifFramesOracle,
       "x_resume" -> resumeOracle,
       "x_html_mixed" -> htmlMixedOracle,

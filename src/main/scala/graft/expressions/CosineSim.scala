@@ -124,5 +124,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           require(exprs.length == 1, s"${NfcNormalize.name} takes exactly 1 argument")
           NfcNormalize(exprs.head)
         }))
+    ext.injectFunction(
+      (FunctionIdentifier(FixMojibake.name),
+        new ExpressionInfo(classOf[FixMojibake].getName, FixMojibake.name),
+        { exprs: Seq[Expression] =>
+          require(exprs.length == 1, s"${FixMojibake.name} takes exactly 1 argument")
+          FixMojibake(exprs.head)
+        }))
   }
 }

@@ -1500,6 +1500,18 @@ object TrainingOps {
     docs.withColumn(textCol, expr(s"graft_nfc($textCol)"))
   }
 
+  /** Mojibake repair over document text — reverses UTF-8-read-as-cp1252
+    * corruption (single and double encoded) via the native codegen
+    * expression [[graft.expressions.FixMojibake]]. Conservative by
+    * construction: the strict two-charset round-trip only fires when the
+    * text IS valid mojibake, so healthy text (ASCII or properly-encoded
+    * UTF-8) is a fixpoint — run it unconditionally before quality/dedup.
+    * One narrow pass, no shuffle; ASCII rows short-circuit in codegen. */
+  def fixMojibake(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    graft.expressions.FixMojibake.register(docs.sparkSession)
+    docs.withColumn(textCol, expr(s"graft_fix_mojibake($textCol)"))
+  }
+
   /** Corpus snapshot diff (the CDC primitive for incremental recrawls):
     * given the previous and current snapshots of a (doc_id, text) corpus,
     * emit one row per difference — `added` (doc_id new in current),

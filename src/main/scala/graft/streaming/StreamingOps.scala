@@ -235,6 +235,30 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** Streaming text repair at ingest: mojibake reversal + NFC canonical
+    * composition as STATELESS native-codegen column rewrites
+    * (`graft_fix_mojibake`, `graft_nfc`) inside a checkpointed plan —
+    * encoding repair belongs at ingest, before any downstream dedup/
+    * quality state ever hashes the broken form. No state store, so
+    * batch ≡ stream by construction and a restart resumes from the last
+    * committed batch. */
+  def runRepairTextStream(spark: SparkSession, inDir: String, outDir: String): Unit = {
+    graft.expressions.FixMojibake.register(spark)
+    graft.expressions.NfcNormalize.register(spark)
+    val schema = org.apache.spark.sql.Encoders.product[TimedDoc].schema
+    val in = spark.readStream.schema(schema).parquet(inDir)
+    val q: StreamingQuery = in
+      .withColumn("clean_text", expr("graft_nfc(graft_fix_mojibake(text))"))
+      .writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", s"$outDir/repaired")
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run streaming decontamination over a file-source directory of
     * TimedDoc parquet with an AvailableNow trigger: contaminated docs are
     * dropped at ingest, clean docs land in `outDir/clean`, checkpointed

@@ -104,6 +104,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((10L, "x"), (11L, ""), (12L, "keep\nalso")), s"got $got")
   }
 
+  test("streaming text repair: stateless codegen rewrites, batch parity, checkpointed waves") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingOps
+    import StreamingOps.TimedDoc
+    def ts(m: Int) = new java.sql.Timestamp(1767225600000L + m * 60000L)
+    val base = java.nio.file.Files.createTempDirectory("srepair-spec").toString
+    val wave1 = Seq(
+      TimedDoc(1, "Caf\u00c3\u00a9", "w", ts(0)),  // mojibake
+      TimedDoc(2, "cafe\u0301", "w", ts(1)),       // decomposed
+      TimedDoc(3, "plain", "w", ts(2)))
+    val wave2 = Seq(TimedDoc(4, "don\u00e2\u20ac\u2122t", "w", ts(3)))
+    s.createDataset(wave1).toDF().write.mode("append").parquet(s"$base/in")
+    StreamingOps.runRepairTextStream(s, s"$base/in", s"$base/out")
+    s.createDataset(wave2).toDF().write.mode("append").parquet(s"$base/in")
+    StreamingOps.runRepairTextStream(s, s"$base/in", s"$base/out")
+    val got = s.read.parquet(s"$base/out/repaired")
+      .orderBy("doc_id").select("doc_id", "clean_text").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "Caf\u00e9"), (2L, "caf\u00e9"), (3L, "plain"),
+      (4L, "don\u2019t")), s"got $got")
+    // batch ≡ stream: the same expression chain over the same rows
+    val batch = operators.TrainingOps.normalizeNfc(operators.TrainingOps.fixMojibake(
+        s.createDataset(wave1 ++ wave2).toDF()))
+      .orderBy("doc_id").select("doc_id", "text").as[(Long, String)].collect().toSeq
+    assert(batch == got, s"batch $batch vs stream $got")
+  }
+
   test("streaming dedup event-time TTL: idle keys expire and re-admit; fresh keys still dedup") {
     val s = spark
     import s.implicits._
