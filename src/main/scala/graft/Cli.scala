@@ -76,11 +76,35 @@ object Cli {
         .write.mode("overwrite").parquet(s"${args(2)}/encoded")
       println(s"merges=${merges.size} encoded_docs=${spark.read.parquet(s"${args(2)}/encoded").count()}")
 
+    case Some("repair") =>
+      if (args.length < 3) {
+        System.err.println("usage: graft.Cli repair <documents.parquet> <outDir>")
+        sys.exit(2)
+      }
+      val spark = session()
+      val docs = spark.read.parquet(args(1))
+      operators.TrainingOps.normalizeNfc(operators.TrainingOps.fixMojibake(docs))
+        .write.mode("overwrite").parquet(args(2))
+      println(s"repaired_docs=${spark.read.parquet(args(2)).count()}")
+
+    case Some("audit") =>
+      if (args.length < 3) {
+        System.err.println("usage: graft.Cli audit <docs.parquet> <media.parquet> [outDir]")
+        sys.exit(2)
+      }
+      val spark = session()
+      val findings = operators.MediaOps.refIntegrity(
+        spark.read.parquet(args(1)), spark.read.parquet(args(2)))
+      if (args.length > 3) findings.write.mode("overwrite").parquet(args(3))
+      val counts = findings.groupBy("status").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      println(s"audit ${if (counts.isEmpty) "clean" else counts}")
+
     case _ =>
       val (flags, files) = args.partition(_.startsWith("--"))
       val perPage = flags.contains("--pages")
       if (files.isEmpty) {
-        System.err.println("usage: graft.Cli [--pages] <file.pdf> [more.pdf ...] | extract ... | clean ...")
+        System.err.println("usage: graft.Cli [--pages] <file.pdf> [more.pdf ...] | extract ... | clean ... | repair ... | audit ...")
         sys.exit(2)
       }
       var failed = 0

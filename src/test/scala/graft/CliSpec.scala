@@ -82,6 +82,23 @@ class CliSpec extends AnyFunSuite {
       // doc1: "low"×3 → [low] each = 3 tokens; doc2: "lower"×2 → [low,e,r] = 6;
       // doc3: "newest" → no learned merge applies = 6 chars
       assert(enc == Seq((1L, 3L, 3L), (2L, 2L, 6L), (3L, 1L, 6L)), s"got $enc")
+
+      // repair: mojibake + NFC as one ingest rewrite
+      spark.createDataset(Seq(
+        (1L, "Caf\u00c3\u00a9"), (2L, "cafe\u0301"), (3L, "plain")))
+        .toDF("doc_id", "text").write.parquet(s"$base/moji_docs")
+      val out4 = withCapturedOut(Cli.main(Array("repair", s"$base/moji_docs", s"$base/repaired")))
+      assert(out4.trim == "repaired_docs=3", s"got [$out4]")
+      val rep = spark.read.parquet(s"$base/repaired")
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      assert(rep == Seq((1L, "Caf\u00e9"), (2L, "caf\u00e9"), (3L, "plain")), s"got $rep")
+
+      // audit: dangling/orphan counts on an inconsistent corpus, clean on itself
+      spark.createDataset(Seq(
+        Model.DocRow("d1", Seq(Model.InSpan("pdf", "", "mX", 0))))).toDF()
+        .write.parquet(s"$base/audit_docs")
+      val out5 = withCapturedOut(Cli.main(Array("audit", s"$base/audit_docs", s"$base/media")))
+      assert(out5.trim.startsWith("audit dangling=1 orphan="), s"got [$out5]")
     } finally spark.stop()
   }
 }

@@ -113,6 +113,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     for ((name, df) <- Seq(
         "slidingChunks" -> operators.TrainingOps.slidingChunks(docs, 32, 16),
         "gopherQualityFlags" -> operators.TrainingOps.gopherQualityFlags(docs),
+        "normalizeNfc" -> operators.TrainingOps.normalizeNfc(docs),
+        "fixMojibake" -> operators.TrainingOps.fixMojibake(docs),
         "mixSources" -> operators.TrainingOps.mixSources(docs,
           Map("src0" -> ((1L, 2L)), "src1" -> ((1L, 1L)))))) {
       df.collect()
