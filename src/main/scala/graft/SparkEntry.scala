@@ -1071,6 +1071,34 @@ object SparkEntry {
         WebOps.resolveUrls(WebOps.parseUrls(pages, col("url")), col("href"))
           .select(col("doc_id"), col("href"), col("resolved"))
       }),
+      // the complete crawl-frontier chain as ONE plan: in-content links
+      // from raw HTML bytes -> RFC 3986 resolution against the page URL
+      // -> URL parse/normalize -> full RFC 9309 robots compliance ->
+      // politeness scheduling; every hop hand-derived in the oracle
+      "x_frontier_chain" -> ((s: SparkSession, _: String) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val pages = Seq(
+          ("https://w.com/dir/page.html",
+            "<p>intro <a href='a.html'>one</a> <a href='/fish/x'>two</a> " +
+              "<a href='https://ext.org/abs'>three</a></p>"),
+          ("https://w.com/other.html",
+            "<p>more <a href='../up.html'>four</a> <a href='//w.com/proto'>five</a></p>"))
+          .toDF("page_url", "html")
+        val rules = WebOps.parseRobotsRules(
+          Seq(("w.com", "User-agent: *\nDisallow: /fish*")).toDF("host", "content"),
+          col("host"), col("content"))
+        val hrefs = pages.select(col("page_url"),
+          explode(graft.functions.PdfFunctions.htmlLinkRefs(col("html").cast("binary"))).as("href"))
+        val resolved = WebOps.resolveUrls(
+            WebOps.parseUrls(hrefs, col("page_url")), col("href"))
+          .select(col("resolved").as("url"))
+        val allowed = WebOps.robotsFilterFull(
+          WebOps.parseUrls(resolved, col("url")), rules, idCol = "url")
+        WebOps.frontierSchedule(
+          allowed.select(col("url"), col("host"), lit(1L).as("priority")),
+          col("priority"), maxRounds = 10)
+      }),
       // RFC 9309 FULL matching: * wildcards, trailing-$ anchors, Allow
       // overrides, longest-match precedence (allow wins length ties) —
       // each URL's ground truth is hand-derived in the VALUES oracle
@@ -2111,6 +2139,16 @@ object SparkEntry {
         "(9, 'rel', 'https://a.com/rel'), " +
         "(10, 'rel', '')" +
         ") AS t(doc_id, href, resolved)"),
+      // hand-derived hop by hop: a.html merges with /dir/, /fish/x is
+      // robots-disallowed, ../up.html climbs to the root, //w.com/proto
+      // takes the page scheme, the external host has no rules; constant
+      // priority -> url-string order within each host
+      "x_frontier_chain" -> ("SELECT url, host, CAST(fetch_round AS BIGINT) AS fetch_round FROM (VALUES " +
+        "('https://ext.org/abs', 'ext.org', 0), " +
+        "('https://w.com/dir/a.html', 'w.com', 0), " +
+        "('https://w.com/proto', 'w.com', 1), " +
+        "('https://w.com/up.html', 'w.com', 2)" +
+        ") AS t(url, host, fetch_round)"),
       // hand-derived RFC 9309 ground truth (see the query's per-URL notes)
       "x_robots_full" -> ("SELECT CAST(doc_id AS BIGINT) AS doc_id, host, url_norm FROM (VALUES " +
         "(2, 'w.com', 'https://w.com/file.php?q=1'), " +
