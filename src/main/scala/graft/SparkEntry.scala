@@ -706,6 +706,13 @@ object SparkEntry {
         val e = t(s, d, "embeddings")
         TrainingOps.knnLsh(e, e.orderBy(col("vec_id")).limit(5), dim = 64, k = 10)
       }),
+      // int8-quantized kNN: integer dot products (bitwise-exact ranking
+      // inputs), dequant scales as the only floats — the memory-bound ANN
+      // sweep; whole top-k table hash-compared cross-engine
+      "q_knn_int8" -> ((s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        TrainingOps.knnInt8(e, e.orderBy(col("vec_id")).limit(5), k = 10)
+      }),
       // routed through a PERSISTED quantizer (save→load round trip) — the
       // train-once shape; same centroids, so the oracle is unchanged
       "q_knn_ivf" -> ((s: SparkSession, d: String) => {
@@ -2089,6 +2096,28 @@ object SparkEntry {
           "SELECT doc_id FROM q WHERE substr(md5(doc_id::VARCHAR || ':s42'), 1, 8) < '80000000'"),
       "q_knn_brute" -> knnBruteOracle,
       "q_knn_lsh" -> knnLshOracle,
+      // same symmetric max-abs truncating quantization (trunc == Spark's
+      // double->int cast), same exact integer dot and self-dots, same
+      // one-sqrt-one-divide cosine — bitwise parity end to end
+      "q_knn_int8" ->
+        ("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d FROM embeddings),
+           |m AS (SELECT vec_id, d, list_aggregate(list_transform(d, x -> abs(x)), 'max') AS maxabs FROM e),
+           |qz AS (SELECT vec_id,
+           |  CASE WHEN maxabs = 0 THEN list_transform(d, x -> 0)
+           |       ELSE list_transform(d, x -> CAST(trunc(x * 127.0 / maxabs) AS INTEGER)) END AS qvec FROM m),
+           |sd AS (SELECT vec_id, qvec,
+           |  CAST(list_sum(list_transform(qvec, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS self_q FROM qz),
+           |qs AS (SELECT vec_id AS query_id, qvec AS q_qvec, self_q AS q_self FROM sd
+           |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)),
+           |sc AS (SELECT query_id, z.vec_id,
+           |  CAST(list_sum(list_transform(range(1, len(z.qvec) + 1),
+           |    i -> CAST(z.qvec[i] AS BIGINT) * q_qvec[i])) AS BIGINT) AS dot_q,
+           |  z.self_q AS self_q, q_self FROM sd z, qs WHERE z.vec_id <> query_id),
+           |sc2 AS (SELECT query_id, vec_id, dot_q,
+           |  CASE WHEN self_q = 0 OR q_self = 0 THEN -1.0
+           |       ELSE CAST(dot_q AS DOUBLE) / sqrt(CAST(self_q * q_self AS DOUBLE)) END AS score FROM sc),
+           |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM sc2)
+           |SELECT query_id, vec_id, dot_q, score, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 10""".stripMargin),
       "q_knn_ivf" -> knnIvfOracle,
       "q_semantic_dup_pairs" -> semanticOracle,
       "q_media_features" -> mediaOracle,

@@ -347,6 +347,63 @@ object TrainingOps {
     scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
   }
 
+  /** Int8 embedding quantization — the memory-side half of ANN at scale:
+    * a 64-dim float32 vector is 256 B, its int8 form plus one double
+    * dequant scale is 72 B, so the resident candidate set of a 100 TB
+    * ANN sweep shrinks ~3.5x and the inner loop becomes exact 64-bit
+    * integer arithmetic. Symmetric per-vector max-abs scaling:
+    * `q_i = trunc(x_i * 127 / maxabs)` — toward-zero TRUNCATION (Spark's
+    * double-to-int cast), not rounding, because truncating identical
+    * doubles is bitwise-reproducible in any engine while round-half ties
+    * are not; `scale = maxabs/127` dequantizes. Zero vectors quantize to
+    * zeros with scale 0. One narrow pass, no shuffle. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val d = transform(col("embedding"), x => x.cast("double"))
+    val maxabs = array_max(transform(d, x => abs(x)))
+    embeddings.select(col("vec_id"),
+      when(maxabs === 0d, transform(d, _ => lit(0)))
+        .otherwise(transform(d, x => (x * 127.0d / maxabs).cast("int"))).as("qvec"),
+      (maxabs / 127.0d).as("scale"))
+  }
+
+  /** Brute-force kNN over int8-quantized vectors — the memory-bound ANN
+    * baseline ([[knnBrute]]'s cheap sibling). The symmetric per-vector
+    * scaling CANCELS out of the cosine, so the score is
+    * `dot_q / sqrt(self_a * self_q)` — exact 64-bit integers
+    * (|dot| <= dim*127^2, far inside long) under one sqrt and one
+    * divide, bitwise-reproducible in any engine and directly comparable
+    * to the float cosine it approximates. Zero vectors score -1
+    * (cosine undefined; ranked last). Queries broadcast; the
+    * `rank <= k` filter on the row_number gives WindowGroupLimit top-k
+    * on both sides of the exchange. The dot runs as a composed
+    * zip_with/aggregate pair — the [[knnBrute]]-style native-expression
+    * upgrade (one fused loop, see [[graft.expressions.CosineSim]]) is
+    * the drop-in path if the quantized sweep ever dominates a profile. */
+  def knnInt8(embeddings: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    def selfDot(v: Column): Column = aggregate(
+      transform(v, x => x.cast("long") * x), lit(0L), (acc, x) => acc + x)
+    val base = quantizeInt8(embeddings)
+      .select(col("vec_id"), col("qvec"), selfDot(col("qvec")).as("self_q"))
+    val q = broadcast(quantizeInt8(queries)
+      .select(col("vec_id").as("query_id"), col("qvec").as("q_qvec"),
+        selfDot(col("qvec")).as("q_self")))
+    val dotInt = aggregate(
+      zip_with(col("qvec"), col("q_qvec"), (a, b) => a.cast("long") * b),
+      lit(0L), (acc, v) => acc + v)
+    // symmetric scaling cancels out of the cosine exactly:
+    // cos(dequant) = dot_q / sqrt(self_a * self_q) — pure integers under
+    // one sqrt and one divide, so the score is bitwise cross-engine
+    val scored = base.crossJoin(q).where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("self_q"), col("q_self"), dotInt.as("dot_q"))
+      .select(col("query_id"), col("vec_id"), col("dot_q"),
+        when(col("self_q") === 0L || col("q_self") === 0L, lit(-1.0d))
+          .otherwise(col("dot_q").cast("double") /
+            sqrt((col("self_q") * col("q_self")).cast("double"))).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
+  }
+
   /** Deterministic random hyperplanes for sign-LSH (seeded, no RNG state).
     * Public so the oracle builder can embed the same plane literals. */
   def hyperplane(bit: Int, dim: Int): Seq[Double] =

@@ -593,6 +593,37 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("quantizeInt8: truncation edges, max element hits ±127, zero vector survives") {
+    val sp = spark; import sp.implicits._
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val qz = operators.TrainingOps.quantizeInt8(vecs)
+      .as[(Long, Seq[Int], Double)].collect().sortBy(_._1).toSeq
+    // 0.5*127/1 = 63.5 -> 63 (truncation, not rounding); -1 -> -127; 0.25 -> 31
+    assert(qz(0)._2 == Seq(63, -127, 31) && qz(0)._3 == 1.0 / 127.0, s"got $qz")
+    assert(qz(1)._2 == Seq(0, 0, 0) && qz(1)._3 == 0.0, s"got $qz")
+  }
+
+  test("knnInt8: quantized cosine tracks float cosine (recall vs brute), zero vector ranks last") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = sp.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = e.orderBy(col("vec_id")).limit(3)
+    val brute = operators.TrainingOps.knnBrute(e, queries, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val got = operators.TrainingOps.knnInt8(e, queries, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.9, s"int8 recall vs float brute = $recall")
+    // a zero vector scores -1 for every query and never displaces a real hit
+    val withZero = e.limit(20).unionByName(
+      Seq((99999L, Array.fill(64)(0.0f), 0)).toDF("vec_id", "embedding", "label"))
+    val z = operators.TrainingOps.knnInt8(withZero, withZero.orderBy(col("vec_id")).limit(1), k = 20)
+    assert(z.where(col("vec_id") === 99999L).select("score").as[Double].head() == -1.0)
+    assert(z.where(col("vec_id") === 99999L).select("rank").as[Long].head() == 20L)
+  }
+
   test("refIntegrity: dangling and orphan refs reported once, consistent refs silent") {
     val sp = spark; import sp.implicits._
     import org.apache.spark.sql.functions.col
