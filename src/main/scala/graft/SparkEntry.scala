@@ -215,6 +215,36 @@ object SparkEntry {
        |r AS (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS "rank" FROM s)
        |SELECT query_id, vec_id, cos, "rank" FROM r WHERE "rank" <= 10""".stripMargin
 
+  /** PQ oracle: same sampled codebook (16 lowest-id vectors), same
+    * per-subspace argmin with lowest-code ties (row_number ≡ Spark's
+    * least-over-structs), same IEEE left-fold subspace distances, same
+    * explicit left-assoc 4-term LUT sum (SQL SUM could reorder floats). */
+  private def knnPqOracle: String = {
+    def sl(e: String) = s"list_slice($e, js.j * 16 + 1, js.j * 16 + 16)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, emb AS c_emb FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 16) t0),
+       |js AS (SELECT unnest(range(0, 4)) AS j),
+       |codes AS (SELECT vec_id, j, c AS code FROM (
+       |  SELECT e.vec_id, js.j, cb.c,
+       |    row_number() OVER (PARTITION BY e.vec_id, js.j ORDER BY ${sqDistSql(sl("e.emb"), sl("cb.c_emb"))}, cb.c) AS rn
+       |  FROM e CROSS JOIN js CROSS JOIN cb) t WHERE rn = 1),
+       |qs AS (SELECT vec_id AS query_id, emb AS q_emb FROM e ORDER BY query_id LIMIT 5),
+       |lut AS (SELECT query_id, js.j, cb.c, ${sqDistSql(sl("q_emb"), sl("cb.c_emb"))} AS dist
+       |  FROM qs CROSS JOIN js CROSS JOIN cb),
+       |ad AS (SELECT l0.query_id, c0.vec_id, ((l0.dist + l1.dist) + l2.dist) + l3.dist AS adist
+       |  FROM codes c0
+       |  JOIN codes c1 ON c0.vec_id = c1.vec_id AND c0.j = 0 AND c1.j = 1
+       |  JOIN codes c2 ON c0.vec_id = c2.vec_id AND c2.j = 2
+       |  JOIN codes c3 ON c0.vec_id = c3.vec_id AND c3.j = 3
+       |  JOIN lut l0 ON l0.j = 0 AND l0.c = c0.code
+       |  JOIN lut l1 ON l1.query_id = l0.query_id AND l1.j = 1 AND l1.c = c1.code
+       |  JOIN lut l2 ON l2.query_id = l0.query_id AND l2.j = 2 AND l2.c = c2.code
+       |  JOIN lut l3 ON l3.query_id = l0.query_id AND l3.j = 3 AND l3.c = c3.code
+       |  WHERE c0.vec_id <> l0.query_id),
+       |r AS (SELECT query_id, vec_id, adist, row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id) AS "rank" FROM ad)
+       |SELECT query_id, vec_id, adist, CAST("rank" AS BIGINT) AS "rank" FROM r WHERE "rank" <= 10""".stripMargin
+  }
+
   /** MD5-based simhash, bit-for-bit the TrainingOps.simhash definition;
     * `from` parametrizes the source relation/CTE. */
   private def simhashSelect(from: String): String =
@@ -712,6 +742,15 @@ object SparkEntry {
       "q_knn_int8" -> ((s: SparkSession, d: String) => {
         val e = t(s, d, "embeddings")
         TrainingOps.knnInt8(e, e.orderBy(col("vec_id")).limit(5), k = 10)
+      }),
+      // product-quantization ADC kNN (Jégou et al.): 4 codes/vector, a
+      // per-query m×16 LUT computed once before the broadcast join, m
+      // lookups per candidate — the compressed-candidate ANN scan; IEEE
+      // left-fold distances make the whole table hash-comparable
+      "q_knn_pq" -> ((s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        TrainingOps.knnPq(e, e.orderBy(col("vec_id")).limit(5),
+          TrainingOps.pqCodebook(e), k = 10)
       }),
       // routed through a PERSISTED quantizer (save→load round trip) — the
       // train-once shape; same centroids, so the oracle is unchanged
@@ -2096,6 +2135,7 @@ object SparkEntry {
           "SELECT doc_id FROM q WHERE substr(md5(doc_id::VARCHAR || ':s42'), 1, 8) < '80000000'"),
       "q_knn_brute" -> knnBruteOracle,
       "q_knn_lsh" -> knnLshOracle,
+      "q_knn_pq" -> knnPqOracle,
       // same symmetric max-abs truncating quantization (trunc == Spark's
       // double->int cast), same exact integer dot and self-dots, same
       // one-sqrt-one-divide cosine — bitwise parity end to end

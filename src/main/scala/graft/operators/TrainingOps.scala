@@ -404,6 +404,79 @@ object TrainingOps {
     scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
   }
 
+  /** IEEE-parity squared distance between two array<double> columns: a
+    * left fold over the element range in index order, bitwise identical
+    * to the oracle's list_reduce replica. */
+  private def sqDistCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0d), (acc, v) => acc + v)
+
+  /** Product-quantization codebook from the `k` lowest-id embeddings —
+    * the same train-free sampled shape as [[knnIvf]]'s quantizer
+    * (deterministic, oracle-replicable; swap in k-means centroids via
+    * [[saveCentroids]]/[[loadCentroids]] when recall matters more than
+    * cross-engine exactness): codebook(j)(c) = the j-th of `m` subvectors
+    * of sampled vector c. The k×dim collect is 16 rows — the same
+    * justified driver traffic as the IVF quantizer. */
+  def pqCodebook(embeddings: DataFrame, m: Int = 4, k: Int = 16): Array[Array[Array[Double]]] = {
+    val rows = embeddings.orderBy(col("vec_id")).limit(k)
+      .select(transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty && rows(0).length % m == 0,
+      s"dim ${rows.headOption.map(_.length)} must divide into $m subspaces")
+    val sub = rows(0).length / m
+    Array.tabulate(m)(j => rows.map(r => r.slice(j * sub, (j + 1) * sub)))
+  }
+
+  /** PQ encode: each vector compresses to `m` one-byte-range codes — the
+    * nearest codebook centroid per subspace (argmin of the IEEE-exact
+    * squared distance, lowest code on ties, via one `least` over
+    * (dist, code) structs — struct order IS the tie rule). A 64-dim
+    * float32 vector becomes m=4 ints: a 10^12-vector corpus's candidate
+    * codes fit where 0.4% of the floats would. One narrow pass; the
+    * codebook rides the plan as literals, nothing broadcasts. */
+  def pqEncode(embeddings: DataFrame, codebook: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebook.length
+    val sub = codebook(0)(0).length
+    val d = transform(col("embedding"), x => x.cast("double"))
+    val codes = array((0 until m).map { j =>
+      least(codebook(j).zipWithIndex.map { case (cent, c) =>
+        struct(sqDistCol(slice(d, j * sub + 1, sub), array(cent.map(lit): _*)).as("d"),
+          lit(c).as("c"))
+      }: _*).getField("c")
+    }: _*)
+    embeddings.select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) kNN over PQ codes — the classic IVF-PQ
+    * scan half (Jégou et al. 2011): each query precomputes ONE m×k
+    * lookup table of subspace distances in its own projection (before
+    * the broadcast join, so it is computed once per query, not per
+    * candidate), and every candidate costs m array lookups + m-1 adds —
+    * never a dim-length loop. The approximate distance folds the LUT
+    * entries in subspace order (left-assoc adds), so scores are bitwise
+    * cross-engine like [[knnInt8]]. Ranking ascends by distance, vec_id
+    * tie-break; `rank <= k` keeps the WindowGroupLimit shape. */
+  def knnPq(embeddings: DataFrame, queries: DataFrame,
+            codebook: Array[Array[Array[Double]]], k: Int = 10): DataFrame = {
+    val m = codebook.length
+    val sub = codebook(0)(0).length
+    val enc = pqEncode(embeddings, codebook)
+    val qd = transform(col("embedding"), x => x.cast("double"))
+    val lut = array((0 until m).map { j =>
+      array(codebook(j).map(cent =>
+        sqDistCol(slice(qd, j * sub + 1, sub), array(cent.map(lit): _*))): _*)
+    }: _*)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), lut.as("lut")))
+    val adist = (0 until m).map(j =>
+      element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adist").asc, col("vec_id"))
+    enc.crossJoin(q).where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adist.as("adist"))
+      .withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
+  }
+
   /** Deterministic random hyperplanes for sign-LSH (seeded, no RNG state).
     * Public so the oracle builder can embed the same plane literals. */
   def hyperplane(bit: Int, dim: Int): Seq[Double] =

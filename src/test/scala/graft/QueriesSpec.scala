@@ -624,6 +624,29 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(z.where(col("vec_id") === 99999L).select("rank").as[Long].head() == 20L)
   }
 
+  test("pq: sampled vectors self-encode; hand-computed ADC distances and tie order") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    // 2-dim, m=2 (sub=1), codebook from the 2 lowest ids: sub-codebooks [0, 10]
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 10.0f)),
+      (2L, Array(0.0f, 10.0f)), (3L, Array(10.0f, 0.0f)), (4L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cb = operators.TrainingOps.pqCodebook(vecs, m = 2, k = 2)
+    assert(cb.length == 2 && cb(0).length == 2 && cb(0)(0).length == 1)
+    val codes = operators.TrainingOps.pqEncode(vecs, cb)
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+    assert(codes == Seq((0L, Seq(0, 0)), (1L, Seq(1, 1)), (2L, Seq(0, 1)),
+      (3L, Seq(1, 0)), (4L, Seq(0, 0))), s"got $codes")
+    // query (0,0): LUTs [0,100]/[0,100]; ADC: id4=0, id2=id3=100 (tie ->
+    // vec_id order), id1=200
+    val got = operators.TrainingOps.knnPq(vecs, vecs.where(col("vec_id") === 0L), cb, k = 4)
+      .select("vec_id", "adist", "rank")
+      .as[(Long, Double, Long)].collect().sortBy(_._3).toSeq
+    assert(got == Seq((4L, 0.0, 1L), (2L, 100.0, 2L), (3L, 100.0, 3L), (1L, 200.0, 4L)),
+      s"got $got")
+  }
+
   test("refIntegrity: dangling and orphan refs reported once, consistent refs silent") {
     val sp = spark; import sp.implicits._
     import org.apache.spark.sql.functions.col
