@@ -245,6 +245,45 @@ object SparkEntry {
        |SELECT query_id, vec_id, adist, CAST("rank" AS BIGINT) AS "rank" FROM r WHERE "rank" <= 10""".stripMargin
   }
 
+  /** IVF×PQ oracle: the 16 sampled vectors serve as BOTH the IVF cell
+    * centroids (full-vector distance) and the PQ codebook (subvector
+    * slices) — exactly [[TrainingOps.ivfCentroids]]/[[TrainingOps.pqCodebook]];
+    * routing replicates knnIvfOracle's rn-based assignment, scoring
+    * replicates knnPqOracle's LUT join, composed on the cell key. */
+  private def knnIvfPqOracle: String = {
+    def sl(e: String) = s"list_slice($e, js.j * 16 + 1, js.j * 16 + 16)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, emb AS c_emb FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 16) t0),
+       |js AS (SELECT unnest(range(0, 4)) AS j),
+       |ea AS (SELECT vec_id, cell FROM (SELECT e.vec_id, cb.c AS cell,
+       |  row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqDistSql("e.emb", "cb.c_emb")}, cb.c) AS rn
+       |  FROM e CROSS JOIN cb) t WHERE rn = 1),
+       |codes AS (SELECT vec_id, j, c AS code FROM (
+       |  SELECT e.vec_id, js.j, cb.c,
+       |    row_number() OVER (PARTITION BY e.vec_id, js.j ORDER BY ${sqDistSql(sl("e.emb"), sl("cb.c_emb"))}, cb.c) AS rn
+       |  FROM e CROSS JOIN js CROSS JOIN cb) t WHERE rn = 1),
+       |qs AS (SELECT vec_id AS query_id, emb AS q_emb FROM e ORDER BY query_id LIMIT 5),
+       |qa AS (SELECT query_id, cell FROM (SELECT qs.query_id, cb.c AS cell,
+       |  row_number() OVER (PARTITION BY qs.query_id ORDER BY ${sqDistSql("qs.q_emb", "cb.c_emb")}, cb.c) AS rn
+       |  FROM qs CROSS JOIN cb) t WHERE rn <= 4),
+       |lut AS (SELECT query_id, js.j, cb.c, ${sqDistSql(sl("q_emb"), sl("cb.c_emb"))} AS dist
+       |  FROM qs CROSS JOIN js CROSS JOIN cb),
+       |ad AS (SELECT l0.query_id, c0.vec_id, ((l0.dist + l1.dist) + l2.dist) + l3.dist AS adist
+       |  FROM codes c0
+       |  JOIN codes c1 ON c0.vec_id = c1.vec_id AND c0.j = 0 AND c1.j = 1
+       |  JOIN codes c2 ON c0.vec_id = c2.vec_id AND c2.j = 2
+       |  JOIN codes c3 ON c0.vec_id = c3.vec_id AND c3.j = 3
+       |  JOIN lut l0 ON l0.j = 0 AND l0.c = c0.code
+       |  JOIN lut l1 ON l1.query_id = l0.query_id AND l1.j = 1 AND l1.c = c1.code
+       |  JOIN lut l2 ON l2.query_id = l0.query_id AND l2.j = 2 AND l2.c = c2.code
+       |  JOIN lut l3 ON l3.query_id = l0.query_id AND l3.j = 3 AND l3.c = c3.code
+       |  JOIN ea ON ea.vec_id = c0.vec_id
+       |  JOIN qa ON qa.query_id = l0.query_id AND qa.cell = ea.cell
+       |  WHERE c0.vec_id <> l0.query_id),
+       |r AS (SELECT query_id, vec_id, adist, row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id) AS "rank" FROM ad)
+       |SELECT query_id, vec_id, adist, CAST("rank" AS BIGINT) AS "rank" FROM r WHERE "rank" <= 10""".stripMargin
+  }
+
   /** MD5-based simhash, bit-for-bit the TrainingOps.simhash definition;
     * `from` parametrizes the source relation/CTE. */
   private def simhashSelect(from: String): String =
@@ -750,6 +789,14 @@ object SparkEntry {
       "q_knn_pq" -> ((s: SparkSession, d: String) => {
         val e = t(s, d, "embeddings")
         TrainingOps.knnPq(e, e.orderBy(col("vec_id")).limit(5),
+          TrainingOps.pqCodebook(e), k = 10)
+      }),
+      // IVF routing × PQ scoring (the billion-scale layout): probe 4 of
+      // 16 cells, ADC-score only those cells' candidates — cell key +
+      // 4-int codes shuffle, embeddings never do
+      "q_knn_ivf_pq" -> ((s: SparkSession, d: String) => {
+        val e = t(s, d, "embeddings")
+        TrainingOps.knnIvfPq(e, e.orderBy(col("vec_id")).limit(5),
           TrainingOps.pqCodebook(e), k = 10)
       }),
       // routed through a PERSISTED quantizer (save→load round trip) — the
@@ -2136,6 +2183,7 @@ object SparkEntry {
       "q_knn_brute" -> knnBruteOracle,
       "q_knn_lsh" -> knnLshOracle,
       "q_knn_pq" -> knnPqOracle,
+      "q_knn_ivf_pq" -> knnIvfPqOracle,
       // same symmetric max-abs truncating quantization (trunc == Spark's
       // double->int cast), same exact integer dot and self-dots, same
       // one-sqrt-one-divide cosine — bitwise parity end to end

@@ -434,17 +434,36 @@ object TrainingOps {
     * float32 vector becomes m=4 ints: a 10^12-vector corpus's candidate
     * codes fit where 0.4% of the floats would. One narrow pass; the
     * codebook rides the plan as literals, nothing broadcasts. */
-  def pqEncode(embeddings: DataFrame, codebook: Array[Array[Array[Double]]]): DataFrame = {
-    val m = codebook.length
+  /** The per-vector PQ code array over `emb` (array<double>). */
+  private def pqCodesCol(codebook: Array[Array[Array[Double]]], emb: Column): Column = {
     val sub = codebook(0)(0).length
-    val d = transform(col("embedding"), x => x.cast("double"))
-    val codes = array((0 until m).map { j =>
+    array(codebook.indices.map { j =>
       least(codebook(j).zipWithIndex.map { case (cent, c) =>
-        struct(sqDistCol(slice(d, j * sub + 1, sub), array(cent.map(lit): _*)).as("d"),
+        struct(sqDistCol(slice(emb, j * sub + 1, sub), array(cent.map(lit): _*)).as("d"),
           lit(c).as("c"))
       }: _*).getField("c")
     }: _*)
-    embeddings.select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** The per-query m×k ADC lookup table over `emb` (array<double>). */
+  private def pqLutCol(codebook: Array[Array[Array[Double]]], emb: Column): Column = {
+    val sub = codebook(0)(0).length
+    array(codebook.indices.map { j =>
+      array(codebook(j).map(cent =>
+        sqDistCol(slice(emb, j * sub + 1, sub), array(cent.map(lit): _*))): _*)
+    }: _*)
+  }
+
+  /** The ADC approximate distance: m LUT lookups folded in subspace
+    * order (left-assoc adds — the oracle mirrors the same fold). */
+  private def pqAdistCol(m: Int): Column =
+    (0 until m).map(j =>
+      element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+
+  def pqEncode(embeddings: DataFrame, codebook: Array[Array[Array[Double]]]): DataFrame = {
+    val d = transform(col("embedding"), x => x.cast("double"))
+    embeddings.select(col("vec_id"), pqCodesCol(codebook, d).as("codes"))
   }
 
   /** Asymmetric-distance (ADC) kNN over PQ codes — the classic IVF-PQ
@@ -458,22 +477,54 @@ object TrainingOps {
     * tie-break; `rank <= k` keeps the WindowGroupLimit shape. */
   def knnPq(embeddings: DataFrame, queries: DataFrame,
             codebook: Array[Array[Array[Double]]], k: Int = 10): DataFrame = {
-    val m = codebook.length
-    val sub = codebook(0)(0).length
     val enc = pqEncode(embeddings, codebook)
     val qd = transform(col("embedding"), x => x.cast("double"))
-    val lut = array((0 until m).map { j =>
-      array(codebook(j).map(cent =>
-        sqDistCol(slice(qd, j * sub + 1, sub), array(cent.map(lit): _*))): _*)
-    }: _*)
-    val q = broadcast(queries.select(col("vec_id").as("query_id"), lut.as("lut")))
-    val adist = (0 until m).map(j =>
-      element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1) + 1))
-      .reduce(_ + _)
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      pqLutCol(codebook, qd).as("lut")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("adist").asc, col("vec_id"))
     enc.crossJoin(q).where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), adist.as("adist"))
+      .select(col("query_id"), col("vec_id"), pqAdistCol(codebook.length).as("adist"))
+      .withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
+  }
+
+  /** IVF routing + PQ scoring — the standard billion-scale ANN layout
+    * (IVF-Flat cells + ADC over raw-vector codes; the classic residual
+    * refinement is deliberately omitted so codes stay query-independent
+    * and exactly oracle-replicable): every vector is routed once to its
+    * nearest sampled cell and PQ-encoded once; a query probes `nProbe`
+    * of `nCells` cells and ADC-scores ONLY those cells' candidates with
+    * its precomputed LUT. Per-query cost ≈ (nProbe/nCells) of the corpus
+    * at m lookups per candidate — the two compressions compound, which
+    * is the whole point at 10^12 vectors. The cell join shuffles the
+    * 8-byte cell key + m-int codes, never embeddings; scores are bitwise
+    * cross-engine like [[knnPq]]. */
+  def knnIvfPq(embeddings: DataFrame, queries: DataFrame,
+               codebook: Array[Array[Array[Double]]], k: Int = 10,
+               nCells: Int = 16, nProbe: Int = 4,
+               centroids0: Array[Array[Double]] = null): DataFrame = {
+    val centroids = if (centroids0 != null) centroids0 else ivfCentroids(embeddings, nCells)
+    def cellDist(emb: Column, c: Array[Double]): Column =
+      aggregate(zip_with(emb, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, v) => acc + v)
+    def nearestCells(emb: Column, n: Int): Column = {
+      val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(cellDist(emb, c).as("d"), lit(i).as("cell"))
+      }: _*)
+      slice(transform(array_sort(scored), s => s.getField("cell")), lit(1), lit(n))
+    }
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+      .select(col("vec_id"),
+        element_at(nearestCells(col("embedding"), 1), 1).as("cell"),
+        pqCodesCol(codebook, col("embedding")).as("codes"))
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q_emb"))
+      .withColumn("cell", explode(nearestCells(col("q_emb"), nProbe)))
+      .select(col("query_id"), col("cell"), pqLutCol(codebook, col("q_emb")).as("lut")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adist").asc, col("vec_id"))
+    e.join(q, Seq("cell")).where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), pqAdistCol(codebook.length).as("adist"))
       .withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
   }
 

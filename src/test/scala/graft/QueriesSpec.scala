@@ -647,6 +647,23 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got $got")
   }
 
+  test("knnIvfPq: cell routing only prunes — surviving pairs score exactly as knnPq") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = sp.read.parquet(s"$sfDir/embeddings.parquet")
+    val cb = operators.TrainingOps.pqCodebook(e)
+    val qs = e.orderBy(col("vec_id")).limit(3)
+    val full = operators.TrainingOps.knnPq(e, qs, cb, k = 1000)
+      .select("query_id", "vec_id", "adist").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val ivf = operators.TrainingOps.knnIvfPq(e, qs, cb, k = 10)
+      .select("query_id", "vec_id", "adist").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, v, d) =>
+      assert(full.get((q, v)).contains(d), s"pair ($q,$v) adist mismatch vs knnPq") }
+    assert(ivf.groupBy(_._1).forall(_._2.length <= 10))
+  }
+
   test("refIntegrity: dangling and orphan refs reported once, consistent refs silent") {
     val sp = spark; import sp.implicits._
     import org.apache.spark.sql.functions.col
