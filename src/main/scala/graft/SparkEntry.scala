@@ -909,6 +909,23 @@ object SparkEntry {
         TrainingOps.fixMojibake(
           t(s, d, "documents").select(col("doc_id"), col("text")).unionByName(planted))
       }),
+      // small-file compaction planning: per-partition byte-prefix-sum
+      // binning in deterministic file order (merge task = one (part,bin))
+      "q_compaction_plan" -> ((s: SparkSession, d: String) => {
+        val files = t(s, d, "documents").select(
+          col("source").as("part"),
+          concat(lit("f"), lpad(col("doc_id").cast("string"), 6, "0")).as("file"),
+          octet_length(col("text")).cast("long").as("bytes"))
+        TrainingOps.compactionPlan(files, targetBytes = 4096)
+      }),
+      // curriculum sharding: 4 quality tranches by integer token count —
+      // score-cardinality aggregation + broadcast map, never a global sort
+      "q_curriculum_shards" -> ((s: SparkSession, d: String) => {
+        TrainingOps.curriculumShards(
+            t(s, d, "documents").select(col("doc_id"), col("text")),
+            expr("length(text) - length(replace(text, ' ', '')) + 1"), k = 4)
+          .select(col("doc_id"), col("shard"))
+      }),
       // Unicode NFC canonicalization (native codegen graft_nfc; ASCII
       // short-circuits): planted decomposed-é and Hangul-jamo rows compose,
       // precomposed/ASCII rows pass through byte-identical
@@ -1951,6 +1968,23 @@ object SparkEntry {
            |  (CAST(950004 AS BIGINT), 'Caf' || chr(233) || ' propre'),
            |  (CAST(950005 AS BIGINT), 'plain ascii')) v(doc_id, text))
            |SELECT doc_id, text FROM d""".stripMargin),
+      // same deterministic file order, same integer prefix-sum binning
+      "q_compaction_plan" ->
+        ("""WITH f AS (SELECT source AS part, 'f' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS file,
+           |  CAST(octet_length(encode(text)) AS BIGINT) AS bytes FROM documents)
+           |SELECT part, file, bytes,
+           |  CAST(FLOOR(COALESCE(SUM(bytes) OVER (PARTITION BY part ORDER BY file
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096) AS BIGINT) AS bin
+           |FROM f""".stripMargin),
+      // same (score,count) rollup, same descending prefix sum, same
+      // integer floor-division shard rule
+      "q_curriculum_shards" ->
+        ("""WITH s AS (SELECT doc_id, CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS sc FROM documents),
+           |c AS (SELECT sc, COUNT(*) AS cnt FROM s GROUP BY sc),
+           |m AS (SELECT sc, COALESCE(SUM(cnt) OVER (ORDER BY sc DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+           |  (SELECT SUM(cnt) FROM c) AS n FROM c),
+           |sh AS (SELECT sc, CAST((cum_before * 4) // n AS BIGINT) AS shard FROM m)
+           |SELECT s.doc_id, sh.shard FROM s JOIN sh USING (sc)""".stripMargin),
       // DuckDB's nfc_normalize runs the same Unicode canonical-composition
       // algorithm as java.text.Normalizer — whole column hash-compared
       "q_nfc_normalize" ->

@@ -1693,6 +1693,52 @@ object TrainingOps {
     docs.withColumn(textCol, expr(s"graft_fix_mojibake($textCol)"))
   }
 
+  /** Small-file compaction planner — the table-maintenance op next to
+    * the vacuum seam: group each partition's files into merge bins of
+    * roughly `targetBytes` by cumulative size in deterministic file
+    * order (bin = floor(running-sum-BEFORE / target), the exact integer
+    * prefix-sum shape of [[tokenBudgetChunks]]). A bin closes after the
+    * file that crosses the target, so bin size < target + one file; a
+    * file larger than the target ends its own bin by construction. One
+    * exchange keyed on the table partition; output is file-count-sized
+    * (a compactor executes one merge task per (part, bin)). */
+  def compactionPlan(files: DataFrame, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("part")).orderBy(col("file"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files.withColumn("bin",
+      floor(coalesce(sum(col("bytes")).over(w), lit(0L)) / targetBytes))
+      .select(col("part"), col("file"), col("bytes"), col("bin"))
+  }
+
+  /** Deterministic curriculum sharding: split the corpus into `k`
+    * quality tranches (shard 0 = best) a staged training run consumes in
+    * order. NOT a global row_number — a fully-ordered window is one task
+    * at any scale. Instead the INTEGER score column aggregates to a
+    * (score, count) table (vocabulary-sized: distinct scores, not rows),
+    * a tiny descending prefix sum assigns every score its shard
+    * `floor(cum_before * k / n)` in exact integer math, and the shard
+    * map broadcast-joins back — the corpus pays one partial-agg shuffle
+    * of its score key and a broadcast join, never a sort. Whole score
+    * groups land in one shard, so shards are near-equal when score
+    * cardinality is reasonable (the honest trade for scalability). */
+  def curriculumShards(docs: DataFrame, score: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val scored = docs.withColumn("_score", score.cast("long"))
+    val counts = scored.groupBy(col("_score")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val total = counts.agg(sum(col("cnt")).as("n"))
+    val shardMap = counts
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .crossJoin(broadcast(total))
+      // integer DIV, not `/` (Column./ is double division) — exact and
+      // cross-engine (DuckDB `//` truncates identically on non-negatives)
+      .select(col("_score"), expr(s"CAST((cum_before * $k) DIV n AS BIGINT)").as("shard"))
+    scored.join(broadcast(shardMap), Seq("_score")).drop("_score")
+  }
+
   /** Corpus snapshot diff (the CDC primitive for incremental recrawls):
     * given the previous and current snapshots of a (doc_id, text) corpus,
     * emit one row per difference — `added` (doc_id new in current),

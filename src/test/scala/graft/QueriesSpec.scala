@@ -664,6 +664,41 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf.groupBy(_._1).forall(_._2.length <= 10))
   }
 
+  test("compactionPlan: prefix-sum bins, boundary crossing, oversized file isolates") {
+    val sp = spark; import sp.implicits._
+    val files = Seq(
+      ("p1", "a", 60L), ("p1", "b", 50L),  // a opens bin 0; b crosses (cum_before 60 < 100)
+      ("p1", "c", 10L),                     // cum_before 110 -> bin 1
+      ("p1", "d", 500L),                    // bin 1 (cum_before 120); its size ends the bin
+      ("p1", "e", 10L),                     // cum_before 620 -> bin 6
+      ("p2", "a", 10L))                     // independent partition
+      .toDF("part", "file", "bytes")
+    val got = operators.TrainingOps.compactionPlan(files, targetBytes = 100)
+      .as[(String, String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      ("p1", "a", 60L, 0L), ("p1", "b", 50L, 0L), ("p1", "c", 10L, 1L),
+      ("p1", "d", 500L, 1L), ("p1", "e", 10L, 6L), ("p2", "a", 10L, 0L)), s"got $got")
+    intercept[IllegalArgumentException] {
+      operators.TrainingOps.compactionPlan(files, targetBytes = 0)
+    }
+  }
+
+  test("curriculumShards: best scores in shard 0, whole score-groups stay together") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    // scores: 9 (x2), 5 (x3), 1 (x1); n=6, k=3
+    // cum_before: 9->0 (shard 0*3/6=0), 5->2 (2*3/6=1), 1->5 (5*3/6=2)
+    val docs = Seq((1L, 9L), (2L, 9L), (3L, 5L), (4L, 5L), (5L, 5L), (6L, 1L))
+      .toDF("doc_id", "quality")
+    val got = operators.TrainingOps.curriculumShards(docs, col("quality"), k = 3)
+      .select("doc_id", "shard").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 1L), (6L, 2L)), s"got $got")
+    // repartition-stable (no global sort involved)
+    val again = operators.TrainingOps.curriculumShards(docs.repartition(5), col("quality"), k = 3)
+      .select("doc_id", "shard").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again == got)
+  }
+
   test("refIntegrity: dangling and orphan refs reported once, consistent refs silent") {
     val sp = spark; import sp.implicits._
     import org.apache.spark.sql.functions.col
