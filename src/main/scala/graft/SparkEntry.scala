@@ -955,6 +955,18 @@ object SparkEntry {
         TrainingOps.removeDupNgramSpans(
           t(s, d, "documents").select(col("doc_id"), col("text")).unionByName(planted))
       }),
+      // surgical span-level decontamination: eval set = the 2 lowest-id
+      // docs; a planted doc embedding eval text keeps its own intro and
+      // closing tokens while the leaked middle is cut (the eval docs and
+      // their corpus exact-dups self-scrub to "")
+      "q_remove_contaminated_spans" -> ((s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val planted = docs.orderBy(col("doc_id")).limit(1)
+          .select(lit(960001L).as("doc_id"),
+            concat(lit("intro marker "), col("text"), lit(" closing marker")).as("text"))
+        TrainingOps.removeContaminatedSpans(
+          docs.unionByName(planted), docs.orderBy(col("doc_id")).limit(2))
+      }),
       // corpus snapshot diff (incremental-recrawl CDC): prev drops the
       // doc_id%7 residue (those surface as added), cur drops %11 (removed)
       // and rewrites %5 texts (changed); unchanged rows never leave the op
@@ -2008,6 +2020,31 @@ object SparkEntry {
            |    THEN array_to_string(list_slice(toks, CAST(i AS BIGINT), CAST(i + 12 AS BIGINT)), ' ') END)) AS gr FROM t),
            |f AS (SELECT doc_id, pos, w,
            |  (gr IS NOT NULL AND COUNT(*) OVER (PARTITION BY gr) >= 2) AS dup_start FROM g),
+           |c AS (SELECT doc_id, pos, w, MAX(CASE WHEN dup_start THEN pos END) OVER
+           |  (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_start FROM f),
+           |k AS (SELECT doc_id, pos, w,
+           |  (last_start IS NOT NULL AND last_start >= pos - 12) AS covered FROM c)
+           |SELECT doc_id,
+           |  COALESCE(string_agg(CASE WHEN NOT covered THEN w END, ' ' ORDER BY pos), '') AS clean_text,
+           |  COUNT(*) AS n_tokens, COUNT(CASE WHEN covered THEN 1 END) AS n_removed
+           |FROM k GROUP BY doc_id""".stripMargin),
+      // same gram-cover construction with the eval-set membership test in
+      // place of the corpus-frequency window (gram strings vs xxhash64 —
+      // identical absent collisions)
+      "q_remove_contaminated_spans" ->
+        ("""WITH d AS (SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT CAST(960001 AS BIGINT), 'intro marker ' || text || ' closing marker'
+           |    FROM (SELECT text FROM documents ORDER BY doc_id LIMIT 1) p),
+           |ev AS (SELECT DISTINCT gr FROM (
+           |  SELECT unnest(CASE WHEN len(toks) < 13 THEN CAST([] AS VARCHAR[])
+           |    ELSE list_transform(range(1, len(toks) - 11), i -> array_to_string(list_slice(toks, CAST(i AS BIGINT), CAST(i + 12 AS BIGINT)), ' ')) END) AS gr
+           |  FROM (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 2)) t0) t1),
+           |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+           |g AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS w,
+           |  unnest(list_transform(range(1, len(toks) + 1), i -> CASE WHEN i <= len(toks) - 12
+           |    THEN array_to_string(list_slice(toks, CAST(i AS BIGINT), CAST(i + 12 AS BIGINT)), ' ') END)) AS gr FROM t),
+           |f AS (SELECT doc_id, pos, w,
+           |  (gr IS NOT NULL AND gr IN (SELECT gr FROM ev)) AS dup_start FROM g),
            |c AS (SELECT doc_id, pos, w, MAX(CASE WHEN dup_start THEN pos END) OVER
            |  (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_start FROM f),
            |k AS (SELECT doc_id, pos, w,

@@ -1739,6 +1739,65 @@ object TrainingOps {
     scored.join(broadcast(shardMap), Seq("_score")).drop("_score")
   }
 
+  /** Surgical SPAN-level decontamination — the GPT-3-appendix variant of
+    * [[decontaminate]]: instead of dropping a whole document that shares
+    * an n-gram with the eval set, cut ONLY the tokens covered by a
+    * leaked window and keep the rest (a 50k-token page should not die
+    * for one quoted benchmark question). Same gram-cover construction as
+    * [[removeDupNgramSpans]] — token covered iff some n-token window
+    * through it appears in the eval set, overlapping windows merge, every
+    * doc returns with token accounting. Tokenization is case-sensitive
+    * single-space ([[removeDupNgramSpans]] contract), deliberately
+    * stricter than [[decontaminate]]'s lowercase match.
+    *
+    * Scale shape: eval grams are tiny by definition → their xxhash64 set
+    * broadcast-joins onto the token stream (corpus gram text is hashed
+    * inside the projection and never shuffles); the only corpus exchange
+    * is the doc_id coverage/reassembly window. ONE corpus scan, ONE
+    * corpus exchange — cheaper than the frequency variant because the
+    * df window disappears into a broadcast. */
+  def removeContaminatedSpans(docs: DataFrame, evalDocs: DataFrame, n: Int = 13): DataFrame = {
+    require(n >= 2, s"gram width must be >= 2, got $n")
+    val evalGrams = evalDocs
+      .select(explode(shinglesRaw(col("text"), n)).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+      .withColumn("hit", lit(1))
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val toks = ws.select(col("doc_id"),
+        posexplode(transform(col("ws"), (w, i) => struct(
+          w.as("w"),
+          when(i <= size(col("ws")) - n,
+            xxhash64(concat_ws(" ", slice(col("ws"), i + 1, lit(n))))).as("gh"))))
+          .as(Seq("pos", "t")))
+      .select(col("doc_id"), col("pos"), col("t.w").as("w"), col("t.gh").as("gh"))
+    val flagged = toks.join(broadcast(evalGrams), Seq("gh"), "left")
+      .withColumn("dup_start", col("hit").isNotNull)
+    val coverW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val covered = flagged
+      .withColumn("last_start", max(when(col("dup_start"), col("pos"))).over(coverW))
+      .withColumn("covered",
+        col("last_start").isNotNull && col("last_start") >= col("pos") - (n - 1))
+    covered.groupBy(col("doc_id")).agg(
+      array_join(transform(
+        array_sort(collect_list(when(!col("covered"), struct(col("pos"), col("w"))))),
+        s => s.getField("w")), " ").as("clean_text"),
+      count(lit(1)).as("n_tokens"),
+      count(when(col("covered"), lit(1))).as("n_removed"))
+  }
+
+  /** Case-sensitive single-space k-shingles (the [[removeDupNgramSpans]]
+    * tokenization), as an array column; shorter-than-k texts yield no
+    * gram (nothing to match). */
+  private def shinglesRaw(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
   /** Corpus snapshot diff (the CDC primitive for incremental recrawls):
     * given the previous and current snapshots of a (doc_id, text) corpus,
     * emit one row per difference — `added` (doc_id new in current),

@@ -721,6 +721,25 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clean.count() == 0)
   }
 
+  test("removeContaminatedSpans: leaked middle cut, surroundings kept, clean docs untouched") {
+    val sp = spark; import sp.implicits._
+    // n=3; eval gram set = all 3-grams of "e1 e2 e3 e4"
+    val eval_ = Seq((100L, "e1 e2 e3 e4")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b e1 e2 e3 e4 c d"), // embedded leak: e1..e4 cut, a b / c d kept
+      (2L, "e1 e2 e3 e4"),         // pure leak -> ""
+      (3L, "a e1 e2 b"),           // partial bigram of eval text: no full 3-gram -> kept
+      (4L, "x y z")).toDF("doc_id", "text")
+    val got = operators.TrainingOps.removeContaminatedSpans(docs, eval_, n = 3)
+      .select("doc_id", "clean_text", "n_tokens", "n_removed")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "a b c d", 8L, 4L),
+      (2L, "", 4L, 4L),
+      (3L, "a e1 e2 b", 4L, 0L),
+      (4L, "x y z", 3L, 0L)), s"got $got")
+  }
+
   test("snapshotDiff: added/removed/changed classified, unchanged suppressed") {
     val sp = spark; import sp.implicits._
     val prev = Seq((1L, "same"), (2L, "old text"), (3L, "gone")).toDF("doc_id", "text")
