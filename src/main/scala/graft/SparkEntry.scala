@@ -1358,6 +1358,24 @@ object SparkEntry {
         q.awaitTermination()
         s.table(sink)
       }),
+      // per-window streaming Count-Min sketch: heavy-hitter state bounded
+      // at depth×width counters per open window regardless of traffic
+      "x_stream_cms" -> ((s: SparkSession, _: String) => withShufflePartitions(s, 4) {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-scms").toString
+        s.createDataset(streamDocs).toDF().write.parquet(s"$tmp/in")
+        val schema = org.apache.spark.sql.Encoders.product[graft.streaming.StreamingOps.TimedDoc].schema
+        val sink = "x_stream_cms_" + java.lang.Long.toHexString(System.nanoTime())
+        val q = graft.streaming.StreamingOps.windowedCms(
+          s.readStream.schema(schema).parquet(s"$tmp/in"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .option("checkpointLocation", s"$tmp/_checkpoint")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+      }),
       // cross-batch streaming exact dedup via flatMapGroupsWithState
       "x_stream_dedup" -> ((s: SparkSession, _: String) => withShufflePartitions(s, 4) {
         import s.implicits._
@@ -2286,6 +2304,19 @@ object SparkEntry {
       "x_sql_udf" -> sqlUdfOracle,
       "x_stream_extract" -> extractionOracle(fx(streamFixtures: _*)),
       "x_stream_window" -> streamWindowOracle,
+      // same tokenization + md5 bucket math as q_cms_sketch, grouped per
+      // tumbling-hour window of the fixture's event times
+      "x_stream_cms" ->
+        ("""WITH docs AS (SELECT * FROM (VALUES
+           |  (1767225600, 'alpha text one'), (1767225600, 'beta text two'), (1767225600, 'gamma text three'),
+           |  (1767229200, 'delta text four'), (1767229200, 'epsilon text five'),
+           |  (1767229200, 'alpha text one'), (1767229200, 'gamma text three')) v(w, text)),
+           |wf AS (SELECT w, tok FROM (SELECT w, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok FROM docs) t WHERE tok <> ''),
+           |ds AS (SELECT CAST(unnest(range(4)) AS INTEGER) AS d)
+           |SELECT CAST(w AS BIGINT) AS win_start, d,
+           |  CAST(CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || tok), 1, 8) AS BIGINT) % 256 AS INTEGER) AS bucket,
+           |  CAST(COUNT(*) AS BIGINT) AS cnt
+           |FROM wf CROSS JOIN ds GROUP BY 1, 2, 3""".stripMargin),
       "x_stream_dedup" -> streamDedupOracle,
       "x_stream_neardedup" -> nearStreamDedupOracle,
       "x_stream_decontaminate" -> streamDecontamOracle,

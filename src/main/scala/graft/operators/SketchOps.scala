@@ -112,7 +112,7 @@ object SketchOps {
 
   /** Per-(row, item) CMS bucket: row hash family is md5(d || ':' || item),
     * first 32 bits mod width — independent-enough rows, engine-portable. */
-  private def cmsBucket(d: Column, item: Column, width: Int): Column =
+  private[graft] def cmsBucket(d: Column, item: Column, width: Int): Column =
     (conv(substring(md5(concat(d.cast("string"), lit(":"), item).cast("binary")), 1, 8), 16, 10)
       .cast("long") % width).cast("int")
 

@@ -25,6 +25,30 @@ object StreamingOps {
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("source"), col("n_docs"), col("n_chars"))
 
+  /** Watermarked per-window Count-Min sketch — the streaming
+    * heavy-hitters primitive: per event-time window, the word-frequency
+    * CMS counter matrix ((win_start, d, bucket, cnt) rows). The state
+    * store holds ≤ depth·width counters PER OPEN WINDOW regardless of
+    * traffic — the sketch replaces the unbounded per-word hash aggregate
+    * that makes exact streaming top-k impossible at 100 TB/day — and the
+    * watermark drops finalized windows. Same tokenization and bucket
+    * expressions as the batch [[graft.operators.SketchOps.cmsSketch]],
+    * and the function itself runs on a batch frame (the watermark is a
+    * no-op there), which is what the batch ≡ stream spec pins. */
+  def windowedCms(docs: DataFrame, watermark: String = "10 minutes",
+                  win: String = "1 hour", depth: Int = 4, width: Int = 256): DataFrame =
+    docs.withWatermark("event_time", watermark)
+      .select(col("event_time"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .select(col("event_time"), col("w"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .select(col("event_time"), col("d"),
+        graft.operators.SketchOps.cmsBucket(col("d"), col("w"), width).as("bucket"))
+      .groupBy(window(col("event_time"), win), col("d"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("d"), col("bucket"), col("cnt"))
+
   /** Cross-batch streaming exact dedup via flatMapGroupsWithState: keyed
     * by xxhash64(text) — 8-byte keys, NOT the text itself, so the
     * checkpointed state store holds one long + one bit per distinct

@@ -131,6 +131,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(batch == got, s"batch $batch vs stream $got")
   }
 
+  test("windowed CMS: per-window sketch, batch ≡ stream via the same function") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingOps
+    import StreamingOps.TimedDoc
+    def ts(m: Int) = new java.sql.Timestamp(1767225600000L + m * 60000L)
+    val docs = Seq(
+      TimedDoc(1, "a b a", "w", ts(5)),
+      TimedDoc(2, "b c", "w", ts(50)),
+      TimedDoc(3, "a a a", "w", ts(70))) // second hour window
+    val base = java.nio.file.Files.createTempDirectory("scms-spec").toString
+    s.createDataset(docs).toDF().write.parquet(s"$base/in")
+    val schema = org.apache.spark.sql.Encoders.product[TimedDoc].schema
+    val q = StreamingOps.windowedCms(s.readStream.schema(schema).parquet(s"$base/in"))
+      .writeStream.format("memory").queryName("scms_spec")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/_checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stream = s.table("scms_spec")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    // the same function runs on a batch frame (watermark is a no-op there)
+    val batch = StreamingOps.windowedCms(s.createDataset(docs).toDF())
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(stream == batch && stream.nonEmpty, s"stream $stream vs batch $batch")
+    // state-bound sanity: two windows, each ≤ depth·width rows; counts per
+    // (window, d) sum to that window's token count (5 and 3)
+    val perWinD = stream.groupBy(r => (r._1, r._2)).view.mapValues(_.toSeq.map(_._4).sum)
+    assert(perWinD.forall { case ((w, _), n) => n == (if (w == 1767225600L) 5L else 3L) },
+      s"got $perWinD")
+  }
+
   test("streaming dedup event-time TTL: idle keys expire and re-admit; fresh keys still dedup") {
     val s = spark
     import s.implicits._
