@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{TrainingOps, MediaOps, JoinOps, SketchOps, WebOps, GraphOps}
+import graft.operators.{TrainingOps, MediaOps, JoinOps, SketchOps, WebOps, GraphOps, LayoutOps, SearchOps}
 import graft.testkit.{PdfBuilder, HtmlBuilder, WarcBuilder, Corpus}
 
 /** Driver contract: one `queries` entry per implemented operator family
@@ -438,6 +438,87 @@ object SparkEntry {
       TimedDoc(101, "alpha text one", "web", ts(1, 30)),   // dup of 1
       TimedDoc(102, "gamma text three", "books", ts(1, 45)) // dup of 3
     )
+  }
+
+  /** BM25 query panel: four queries over the synthetic corpus vocabulary,
+    * shared verbatim by the Spark query and the oracle's VALUES table. */
+  private val bm25Queries: Seq[(Int, String)] = Seq(
+    (1, "hash"), (1, "join"), (2, "window"), (2, "sort"), (2, "merge"),
+    (3, "stream"), (3, "batch"), (4, "customer"), (4, "data"), (4, "query"))
+
+  /** Late-arriving label stream for the stream-stream join: one on-time
+    * label per matched doc, plus the three drop cases the time-bound
+    * contract defines — too late (doc 3: +95 min > the 60-min lag),
+    * before the doc's event time (doc 5), and an unknown doc_id (999). */
+  private def streamLabels: Seq[graft.streaming.StreamingOps.DocLabel] = {
+    import graft.streaming.StreamingOps.DocLabel
+    def ts(hour: Int, minute: Int): java.sql.Timestamp =
+      new java.sql.Timestamp(((hour * 60L + minute) * 60L) * 1000L + 1767225600000L)
+    Seq(
+      DocLabel(1, 10, ts(0, 20)),   // +10 min: match
+      DocLabel(2, 20, ts(0, 40)),   // exactly at event time: match (inclusive)
+      DocLabel(3, 30, ts(2, 30)),   // +95 min > 60-min lag: drop
+      DocLabel(4, 40, ts(1, 50)),   // +45 min: match
+      DocLabel(5, 50, ts(1, 10)),   // 10 min BEFORE the doc: drop
+      DocLabel(999, 60, ts(0, 30)), // unknown doc: drop
+      DocLabel(101, 70, ts(1, 59))  // +29 min: match (dup doc is its own row)
+    )
+  }
+
+  /** Oracle for x_stream_join, DERIVED from the two fixture Seqs (not
+    * hand-enumerated): the same key + time-bound predicate over VALUES
+    * tables, so a fixture edit propagates to the oracle automatically. */
+  private def streamJoinOracle: String = {
+    val dRows = streamDocs.map(d =>
+      s"(${d.doc_id}, '${d.source}', ${d.event_time.getTime / 1000})").mkString(", ")
+    val lRows = streamLabels.map(l =>
+      s"(${l.label_doc_id}, ${l.score}, ${l.label_time.getTime / 1000})").mkString(", ")
+    s"""WITH d AS (SELECT * FROM (VALUES $dRows) t(doc_id, source, event_ts)),
+       |l AS (SELECT * FROM (VALUES $lRows) t(label_doc_id, score, label_ts))
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, CAST(l.score AS BIGINT) AS score,
+       |  CAST(d.event_ts AS BIGINT) AS event_ts, CAST(l.label_ts AS BIGINT) AS label_ts
+       |FROM d JOIN l ON d.doc_id = l.label_doc_id
+       |  AND l.label_ts >= d.event_ts AND l.label_ts <= d.event_ts + 3600""".stripMargin
+  }
+
+  /** Oracle for q_zorder_key: the bit-interleave replayed as a literal
+    * sum of shift/mask terms — generated from the same (bits, binBits)
+    * parameters the Spark query uses, so the two cannot drift. */
+  private def zorderOracleSql: String = {
+    val a = "(n_chars % 256)"
+    val b = "(doc_id % 256)"
+    val terms = (0 until 8).flatMap { i =>
+      Seq(s"((($a >> $i) & 1) << ${2 * i})", s"((($b >> $i) & 1) << ${2 * i + 1})")
+    }
+    val zkey = terms.mkString(" + ")
+    s"SELECT doc_id, CAST($zkey AS BIGINT) AS zkey, CAST(($zkey) >> 10 AS INTEGER) AS zbin FROM documents"
+  }
+
+  /** Oracle for q_bm25_topk: the whole scoring pipeline replayed in SQL
+    * with the arithmetic expression trees mirrored VERBATIM from
+    * SearchOps.bm25TopK (exactly-rounded IEEE ops on <2^53 integers are
+    * bit-identical across engines; per-term scores quantize to BIGINT
+    * before the order-sensitive summation). Query panel shared via
+    * [[bm25Queries]]. */
+  private def bm25OracleSql: String = {
+    val vals = bm25Queries.map { case (q, term) => s"($q, '$term')" }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents),
+       |tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+       |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tk GROUP BY 1),
+       |st AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM tk) AS sum_dl),
+       |qt AS (SELECT * FROM (VALUES $vals) t(qid, term)),
+       |tf AS (SELECT tk.doc_id, tk.term, CAST(COUNT(*) AS BIGINT) AS tf FROM tk
+       |  WHERE tk.term IN (SELECT term FROM qt) GROUP BY 1, 2),
+       |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT qt.qid, tf.doc_id,
+       |  CAST(FLOOR(1000000.0 * ((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl * st.n_docs / st.sum_dl))))) AS BIGINT) AS s
+       |  FROM tf JOIN dfq ON tf.term = dfq.term JOIN qt ON tf.term = qt.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+       |ag AS (SELECT qid, doc_id, CAST(SUM(s) AS BIGINT) AS score_fp FROM sc GROUP BY 1, 2),
+       |r AS (SELECT qid, doc_id, score_fp,
+       |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_fp DESC, doc_id) AS rk FROM ag)
+       |SELECT qid, doc_id, score_fp, CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 10""".stripMargin
   }
 
   private def streamWindowOracle: String =
@@ -1091,6 +1172,62 @@ object SparkEntry {
             probes, col("term"))
           .join(probes.select(col("term").as("item"), col("n").as("true_count")), Seq("item"))
       }),
+      // integer-exact quantile brackets read off the mergeable log2
+      // histogram — the cross-engine-reproducible percentile answer
+      // (percentile_approx never is); windows run over <=65 rows
+      "q_hist_quantiles" -> ((s: SparkSession, d: String) =>
+        SketchOps.logHistogramQuantiles(t(s, d, "documents"), col("n_chars"))),
+      // Morton/Z-order clustering key + file bin over two bucketed
+      // dimensions — the multi-dim layout that lets min/max file stats
+      // prune slab predicates on EITHER column (pruning factor pinned in
+      // LayoutOpsSpec); pure shift/and/add, whole-stage codegen
+      "q_zorder_key" -> ((s: SparkSession, d: String) =>
+        LayoutOps.zorderLayout(t(s, d, "documents"),
+            col("n_chars") % lit(256L), col("doc_id") % lit(256L),
+            bits = 8, binBits = 6)
+          .select(col("doc_id"), col("zkey"), col("zbin"))),
+      // skew-salted join: IDENTICAL result to the plain equi-join (the
+      // oracle is the plain join), physically spread over `salts`
+      // sub-keys so one Zipf-hot key cannot stall a stage; deterministic
+      // salt = xxhash64 of the row id, so reruns partition identically
+      "q_salted_join" -> ((s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem").select(
+          col("l_partkey").as("pk"),
+          cents(col("l_extendedprice")).as("price_cents"),
+          concat(col("l_orderkey"), lit(":"), col("l_linenumber")).as("row_id"))
+        val pt = t(s, d, "part").select(col("p_partkey").as("pk"), col("p_brand"))
+        JoinOps.saltedJoin(li, pt, Seq("pk"), "row_id", salts = 8)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("revenue_cents"))
+      }),
+      // bucketed-table co-located join: both sides written bucketBy(8,
+      // key) once, so the join AND the keyed aggregation run with ZERO
+      // ShuffleExchange (pinned in PlanSpec) — the pay-the-shuffle-once
+      // layout for every dimension table a pipeline joins per run
+      "q_bucketed_join" -> ((s: SparkSession, d: String) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+        val nonce = java.lang.Long.toHexString(System.nanoTime())
+        val to = s"bkt_orders_$nonce"
+        val tc = s"bkt_cust_$nonce"
+        LayoutOps.saveBucketed(t(s, d, "orders")
+            .select(col("o_custkey"), cents(col("o_totalprice")).as("price_cents")),
+          s"$tmp/o", to, "o_custkey", numBuckets = 8)
+        LayoutOps.saveBucketed(t(s, d, "customer")
+            .select(col("c_custkey").as("o_custkey"), col("c_name")),
+          s"$tmp/c", tc, "o_custkey", numBuckets = 8)
+        s.table(to).join(s.table(tc), Seq("o_custkey"))
+          .groupBy(col("o_custkey"), col("c_name"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("price_cents")).as("revenue_cents"))
+      }),
+      // fixed-point BM25 top-k retrieval: per-term scores quantized to
+      // integer micro-units before summation (order-independent), idf as
+      // the log-free Robertson ratio so every op is exactly-rounded IEEE
+      // and the oracle is hash-exact; only query-term rows ever shuffle
+      "q_bm25_topk" -> ((s: SparkSession, d: String) => {
+        import s.implicits._
+        val qt = bm25Queries.toDF("qid", "term")
+        SearchOps.bm25TopK(t(s, d, "documents"), qt, k = 10)
+      }),
       // URL normalization: deterministic messy-URL synthesis (case, frag,
       // default ports, userinfo — one shared SQL snippet in both engines)
       // through pure-regex parse/canonicalize; zero UDFs, zero shuffles
@@ -1377,6 +1514,29 @@ object SparkEntry {
         s.table(sink)
       }),
       // cross-batch streaming exact dedup via flatMapGroupsWithState
+      // stream-stream inner join: doc ingest enriched by a late-arriving
+      // label stream, keyed on doc_id and time-bounded to a 1-hour lag —
+      // both watermarks + the bound keep the join state finite; append
+      // mode (the only stream-stream inner mode) via AvailableNow
+      "x_stream_join" -> ((s: SparkSession, _: String) => withShufflePartitions(s, 4) {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-sjoin").toString
+        s.createDataset(streamDocs).toDF().write.parquet(s"$tmp/docs")
+        s.createDataset(streamLabels).toDF().write.parquet(s"$tmp/labels")
+        val docSchema = org.apache.spark.sql.Encoders.product[graft.streaming.StreamingOps.TimedDoc].schema
+        val labelSchema = org.apache.spark.sql.Encoders.product[graft.streaming.StreamingOps.DocLabel].schema
+        val sink = "x_stream_join_" + java.lang.Long.toHexString(System.nanoTime())
+        val q = graft.streaming.StreamingOps.joinLabels(
+            s.readStream.schema(docSchema).parquet(s"$tmp/docs"),
+            s.readStream.schema(labelSchema).parquet(s"$tmp/labels"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .option("checkpointLocation", s"$tmp/_checkpoint")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table(sink)
+      }),
       "x_stream_dedup" -> ((s: SparkSession, _: String) => withShufflePartitions(s, 4) {
         import s.implicits._
         val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
@@ -2187,6 +2347,33 @@ object SparkEntry {
            |  FROM top CROSS JOIN ds)
            |SELECT pb.item, MIN(sk.cnt) AS cms_count, MIN(pb.true_count) AS true_count
            |FROM pb JOIN sk USING (d, bucket) GROUP BY pb.item""".stripMargin),
+      // the quantile read-off replayed over the same histogram CTE:
+      // smallest bin with cum >= ceil(q*total), ceil in pure BIGINT
+      "q_hist_quantiles" ->
+        ("""WITH h AS (SELECT CASE WHEN n_chars <= 0 THEN -1 ELSE CAST(length(bin(n_chars)) AS INTEGER) - 1 END AS bin,
+           |  CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(n_chars) AS BIGINT) AS min_v, CAST(MAX(n_chars) AS BIGINT) AS max_v
+           |  FROM documents GROUP BY 1),
+           |c AS (SELECT bin, min_v, max_v, CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cum,
+           |  CAST(SUM(n) OVER () AS BIGINT) AS total FROM h),
+           |q AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4), (9, 10)) t(q_num, q_den)),
+           |j AS (SELECT q_num, q_den, bin, min_v, max_v,
+           |  ROW_NUMBER() OVER (PARTITION BY q_num, q_den ORDER BY bin) AS rk
+           |  FROM c CROSS JOIN q WHERE cum >= (total * q_num + q_den - 1) // q_den)
+           |SELECT q_num, q_den, bin, min_v, max_v FROM j WHERE rk = 1""".stripMargin),
+      "q_zorder_key" -> zorderOracleSql,
+      // the salted join's oracle is the PLAIN join — salting must be
+      // result-invariant, that is the whole contract
+      "q_salted_join" ->
+        ("SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n, " +
+          "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+          "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1"),
+      // likewise the bucketed join: layout must not change the answer
+      "q_bucketed_join" ->
+        ("SELECT o_custkey, c_name, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+          "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents " +
+          "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2"),
+      "q_bm25_topk" -> bm25OracleSql,
+      "x_stream_join" -> streamJoinOracle,
       "q_graph_degrees" ->
         (s"""WITH e AS ($edgeSynthSql),
             |n AS (SELECT src AS node, 1 AS o, 0 AS i FROM e UNION ALL SELECT dst, 0, 1 FROM e)

@@ -92,4 +92,30 @@ object JoinOps {
       .where(col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
       .drop("__b")
   }
+
+  /** Skew-salted inner equi-join: identical result to `big.join(small,
+    * keys)`, different physical shape. A web-scale key distribution is
+    * Zipfian — one hot key (the empty referrer, the top domain, the ""
+    * language) can put 10% of a 100 TB table into ONE reducer task and
+    * stall the whole stage behind it. Salting splits every big-side key
+    * into `salts` sub-keys (deterministic: xxhash64 of the row's unique
+    * id, so reruns repartition identically) and replicates each small-side
+    * row `salts` times; the join keys on (key, salt), so the hot key's
+    * rows spread over `salts` tasks. Cost: small side × salts (fine — it
+    * is the SMALL side by contract); benefit: max task size shrinks
+    * ~salts-fold. AQE's skew-join handles sort-merge skew at runtime;
+    * salting is the static form that also covers hash aggregations and
+    * engines/plans AQE doesn't reach.
+    *
+    * `bigId` must be unique per big-side row (any stable id column); the
+    * salt never leaves the join. Inner join only — outer variants need
+    * null-extension after de-salting, a different operator. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 bigId: String, salts: Int): DataFrame = {
+    require(salts >= 2 && salts <= 1024, "salts must be in [2, 1024]")
+    require(keys.nonEmpty, "need at least one join key")
+    val b = big.withColumn("__salt", pmod(xxhash64(col(bigId)), lit(salts.toLong)))
+    val s = small.withColumn("__salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    b.join(s, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -110,6 +110,39 @@ object SketchOps {
       .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"), max(col("v")).as("max_v"))
   }
 
+  /** Quantile estimates read off the mergeable [[logHistogram]]: for each
+    * requested quantile q = q_num/q_den the answer is the smallest bin whose
+    * cumulative count reaches ceil(q·total) — entirely BIGINT arithmetic
+    * (ceil(a·n/d) = (a·n + d − 1) div d), so the result is cross-engine
+    * exact, unlike `percentile_approx`. Emits (q_num, q_den, bin, min_v,
+    * max_v): the observed value range inside the answer bin is the bracket
+    * a 100 TB percentile question actually needs (resolution = the bin's
+    * factor-of-2 width, the price of a 64-row mergeable state). The
+    * unpartitioned windows run over the ≤65-row histogram, never the data
+    * — one narrow corpus pass total, same as [[logHistogram]]. */
+  def logHistogramQuantiles(df: DataFrame, value: Column,
+                            qs: Seq[(Int, Int)] = Seq((1, 4), (1, 2), (3, 4), (9, 10))): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (n, d) => n >= 0 && d > 0 && n <= d },
+      "quantiles must be rationals in [0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val hist = logHistogram(df, value) // (bin, n, min_v, max_v), ≤65 rows
+    val cumW = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(cumW))
+      .withColumn("total", sum(col("n")).over(allW))
+    val spark = df.sparkSession
+    val qdf = spark.createDataFrame(qs.map { case (n, d) => (n, d) })
+      .toDF("q_num", "q_den")
+    val target = expr("(total * q_num + q_den - 1) div q_den")
+    val rkW = Window.partitionBy(col("q_num"), col("q_den")).orderBy(col("bin"))
+    cum.crossJoin(broadcast(qdf))
+      .where(col("cum") >= target)
+      .withColumn("rk", row_number().over(rkW))
+      .where(col("rk") === 1)
+      .select(col("q_num"), col("q_den"), col("bin"), col("min_v"), col("max_v"))
+  }
+
   /** Per-(row, item) CMS bucket: row hash family is md5(d || ':' || item),
     * first 32 bits mod width — independent-enough rows, engine-portable. */
   private[graft] def cmsBucket(d: Column, item: Column, width: Int): Column =

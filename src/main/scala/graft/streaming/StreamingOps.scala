@@ -49,6 +49,38 @@ object StreamingOps {
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("d"), col("bucket"), col("cnt"))
 
+  case class DocLabel(label_doc_id: Long, score: Long, label_time: java.sql.Timestamp)
+
+  /** Stream-stream inner join: enrich the document ingest stream with a
+    * second stream of late-arriving per-doc labels (classifier scores,
+    * moderation verdicts) — the production shape where both sides are
+    * unbounded and neither can be a static broadcast table. The join is
+    * keyed on doc_id and time-bounded: a label matches only inside
+    * [event_time, event_time + maxLagSeconds]. That bound plus the two
+    * watermarks is what makes the state FINITE — Spark buffers each side
+    * only until the other side's watermark passes the last instant a
+    * match could still arrive, then evicts; without the time bound the
+    * doc-side state would grow forever. Inner join in append mode: a row
+    * is emitted exactly once, when both sides have arrived.
+    *
+    * The same function runs on batch frames (watermarks are no-ops
+    * there), so batch ≡ stream parity is pinned by construction, like
+    * [[windowedCms]]. Late labels (beyond the lag), early labels (before
+    * the doc's event time), and labels for unknown docs all drop — the
+    * deterministic contract the oracle checks row for row. */
+  def joinLabels(docs: DataFrame, labels: DataFrame,
+                 docWatermark: String = "10 minutes",
+                 labelWatermark: String = "10 minutes",
+                 maxLagSeconds: Long = 3600L): DataFrame =
+    docs.withWatermark("event_time", docWatermark)
+      .join(labels.withWatermark("label_time", labelWatermark),
+        col("doc_id") === col("label_doc_id") &&
+          col("label_time") >= col("event_time") &&
+          col("label_time") <= col("event_time") + expr(s"INTERVAL $maxLagSeconds SECONDS"))
+      .select(col("doc_id"), col("source"), col("score"),
+        unix_timestamp(col("event_time")).as("event_ts"),
+        unix_timestamp(col("label_time")).as("label_ts"))
+
   /** Cross-batch streaming exact dedup via flatMapGroupsWithState: keyed
     * by xxhash64(text) — 8-byte keys, NOT the text itself, so the
     * checkpointed state store holds one long + one bit per distinct

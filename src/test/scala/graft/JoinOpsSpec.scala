@@ -83,4 +83,26 @@ class JoinOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == brute && got.nonEmpty)
     assert(!got.exists(_._1 == 6L)) // empty interval [400,400) matches nothing
   }
+
+  test("saltedJoin equals the plain join on a Zipf-hot key distribution") {
+    val sp = spark; import sp.implicits._
+    // 90% of the big side lands on key 7 — the skew case salting exists for
+    val big = Seq.tabulate(1000)(i =>
+      (if (i % 10 == 0) (i % 13).toLong else 7L, i.toLong, s"row-$i"))
+      .toDF("k", "v", "row_id")
+    val small = Seq.tabulate(13)(i => (i.toLong, s"dim-$i")).toDF("k", "name")
+    val got = JoinOps.saltedJoin(big, small, Seq("k"), "row_id", salts = 8)
+      .select("k", "v", "name").as[(Long, Long, String)].collect().toSeq.sorted
+    val want = big.join(small, Seq("k"))
+      .select("k", "v", "name").as[(Long, Long, String)].collect().toSeq.sorted
+    assert(got == want)
+    // salt column never leaks
+    assert(!JoinOps.saltedJoin(big, small, Seq("k"), "row_id", salts = 8)
+      .columns.contains("__salt"))
+    // hot key's rows really spread: >1 distinct salt for key 7
+    val spread = big.select(col("k"),
+        pmod(xxhash64(col("row_id")), lit(8L)).as("s"))
+      .where(col("k") === 7).select(countDistinct(col("s"))).as[Long].head()
+    assert(spread > 1)
+  }
 }

@@ -250,4 +250,75 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     p.linesIterator.filter(_.contains("Exchange")).foreach(l =>
       assert(!l.contains("text#"), s"text attribute crosses an exchange: $l\n$p"))
   }
+
+  test("bucketed tables: join AND keyed agg plan ZERO shuffle exchanges") {
+    // the pay-the-shuffle-once layout: both sides bucketBy(8, key) →
+    // SortMergeJoin straight off the bucketed scans, and the groupBy on
+    // the bucket key reuses the same distribution — no Exchange anywhere
+    val tmp = java.nio.file.Files.createTempDirectory("plan-bkt").toString
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_custkey"), col("o_totalprice"))
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("o_custkey"), col("c_name"))
+    operators.LayoutOps.saveBucketed(orders, s"$tmp/o", "plan_bkt_orders", "o_custkey", 8)
+    operators.LayoutOps.saveBucketed(cust, s"$tmp/c", "plan_bkt_cust", "o_custkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = spark.table("plan_bkt_orders").join(spark.table("plan_bkt_cust"), Seq("o_custkey"))
+        .groupBy(col("o_custkey"), col("c_name"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("rev"))
+      df.collect()
+      val p = plan(df).split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed join/agg shuffles:\n$p")
+      assert(p.contains("SelectedBucketsCount"), p) // really reading bucketed scans
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join: the exchange keys on (key, salt), spreading hot keys") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_partkey").as("pk"), col("l_orderkey").as("row_id"))
+    val pt = spark.read.parquet(s"$sfDir/part.parquet")
+      .select(col("p_partkey").as("pk"), col("p_brand"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = operators.JoinOps.saltedJoin(li, pt, Seq("pk"), "row_id", salts = 8)
+      df.collect()
+      val p = plan(df).split("== Initial Plan ==").head
+      // big side partitions on (pk, salt): salt appears in a hashpartitioning
+      val parts = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+      assert(parts.exists(l => l.contains("pk#") && l.contains("__salt#")),
+        s"no (key, salt) exchange found:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("z-order layout: one scan, zero exchanges, codegen'd key arithmetic") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = operators.LayoutOps.zorderLayout(docs,
+      col("n_chars") % lit(256L), col("doc_id") % lit(256L), bits = 8, binBits = 6)
+      .select("doc_id", "zkey", "zbin")
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("Exchange"), s"zorder shuffles:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1, p)
+    assert(p.contains("*(1)"), s"not codegen'd:\n$p")
+  }
+
+  test("bm25: stats/df/query frames broadcast; only query-term rows shuffle") {
+    val sp = spark; import sp.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val qt = Seq((1, "hash"), (1, "join"), (2, "window")).toDF("qid", "term")
+    val df = operators.SearchOps.bm25TopK(docs, qt, k = 10)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // three broadcast joins: query terms (semi shape), df, stats
+    assert("BroadcastHashJoin".r.findAllIn(p).size
+      + "BroadcastNestedLoopJoin".r.findAllIn(p).size >= 3, p)
+    // the non-query-term tokens die in a filter before any exchange:
+    // every exchange carries tf/score rows, never the raw term explode
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("__arr#")), s"raw token array shuffles:\n$p")
+  }
 }

@@ -120,4 +120,26 @@ class SketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(merged == got)
   }
+
+  test("logHistogramQuantiles: answer bin is the exact quantile's bin, every q") {
+    val sp = spark; import sp.implicits._
+    // skewed values across several octaves, n = 100
+    val vals = Seq.tabulate(100)(i => ((i.toLong * i + 1) % 4096) + 1)
+    val qs = Seq((1, 10), (1, 4), (1, 2), (3, 4), (99, 100), (1, 1))
+    val got = SketchOps.logHistogramQuantiles(vals.toDF("v"), col("v"), qs)
+      .as[(Int, Int, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got.keySet == qs.toSet)
+    val sorted = vals.sorted
+    qs.foreach { case (n, d) =>
+      // exact q-th smallest value (1-indexed rank ceil(q * total))
+      val rank = ((vals.size.toLong * n + d - 1) / d).toInt
+      val exact = sorted(rank - 1)
+      val expectBin = 63 - java.lang.Long.numberOfLeadingZeros(exact)
+      val (bin, lo, hi) = got((n, d))
+      assert(bin == expectBin, s"q=$n/$d")
+      // the reported [lo, hi] brackets the exact quantile value
+      assert(lo <= exact && exact <= hi, s"q=$n/$d exact=$exact lo=$lo hi=$hi")
+    }
+  }
 }

@@ -22,6 +22,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("stream-stream join: time-bounded label enrichment, batch ≡ stream") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StreamingOps
+    import StreamingOps.{TimedDoc, DocLabel}
+    def ts(m: Int) = new java.sql.Timestamp(1767225600000L + m * 60000L)
+    val docs = Seq(
+      TimedDoc(1, "a", "w", ts(0)),
+      TimedDoc(2, "b", "w", ts(5)),
+      TimedDoc(3, "c", "b", ts(10)))
+    val labels = Seq(
+      DocLabel(1, 11, ts(30)),  // +30 min: match
+      DocLabel(2, 22, ts(5)),   // at event time: match (inclusive bound)
+      DocLabel(2, 23, ts(70)),  // +65 min > 60-min lag: drop
+      DocLabel(3, 33, ts(5)),   // 5 min early: drop
+      DocLabel(7, 77, ts(12))) // unknown doc: drop
+    // batch path: watermarks are no-ops, the join predicate is the contract
+    val batch = StreamingOps.joinLabels(
+        s.createDataset(docs).toDF(), s.createDataset(labels).toDF())
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(batch.map(r => (r._1, r._3)) == Set((1L, 11L), (2L, 22L)))
+    // stream path: same inputs via files + AvailableNow, append sink
+    val base = java.nio.file.Files.createTempDirectory("sjoin-spec").toString
+    s.createDataset(docs).toDF().write.parquet(s"$base/docs")
+    s.createDataset(labels).toDF().write.parquet(s"$base/labels")
+    val docSchema = org.apache.spark.sql.Encoders.product[TimedDoc].schema
+    val labelSchema = org.apache.spark.sql.Encoders.product[DocLabel].schema
+    val q = StreamingOps.joinLabels(
+        s.readStream.schema(docSchema).parquet(s"$base/docs"),
+        s.readStream.schema(labelSchema).parquet(s"$base/labels"))
+      .writeStream.format("memory").queryName("sjoin_spec")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = s.table("sjoin_spec")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("stateful streaming dedup suppresses duplicates across restarts") {
     val s = spark
     import s.implicits._
