@@ -481,6 +481,47 @@ object SparkEntry {
        |  AND l.label_ts >= d.event_ts AND l.label_ts <= d.event_ts + 3600""".stripMargin
   }
 
+  /** Sketch oracles shared by the direct queries AND the merge queries
+    * (q_hll_merge / q_hist_merge / q_cms_merge): merging the two
+    * doc_id-parity halves must reproduce the whole-corpus sketch exactly,
+    * so the merged result is verified against the SAME whole-corpus SQL. */
+  private val hllRegistersOracleSql: String =
+    """WITH c AS (SELECT CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) AS register,
+      |  CAST('0x' || substr(md5(text), 3, 14) AS BIGINT) AS v FROM documents)
+      |SELECT register, MAX(CAST(CASE WHEN v = 0 THEN 57 ELSE 57 - length(bin(v)) END AS INTEGER)) AS max_rho
+      |FROM c GROUP BY register""".stripMargin
+
+  private val logHistogramOracleSql: String =
+    "SELECT CASE WHEN n_chars <= 0 THEN -1 ELSE CAST(length(bin(n_chars)) AS INTEGER) - 1 END AS bin, " +
+      "CAST(COUNT(*) AS BIGINT) AS n, MIN(n_chars) AS min_v, MAX(n_chars) AS max_v " +
+      "FROM documents GROUP BY 1"
+
+  private val cmsSketchOracleSql: String =
+    """WITH wf AS (SELECT w FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents) t WHERE w <> ''),
+      |ds AS (SELECT CAST(unnest(range(4)) AS INTEGER) AS d)
+      |SELECT d, CAST(CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || w), 1, 8) AS BIGINT) % 256 AS INTEGER) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM wf CROSS JOIN ds GROUP BY 1, 2""".stripMargin
+
+  /** Oracle for q_zone_map: per-z-bin min/max/count for both interleaved
+    * dimensions plus the [64, 95]-slab pruning verdicts, replayed over
+    * the generated zkey sum. */
+  private def zoneMapOracleSql: String = {
+    val a = "(n_chars % 256)"
+    val b = "(doc_id % 256)"
+    val terms = (0 until 8).flatMap { i =>
+      Seq(s"((($a >> $i) & 1) << ${2 * i})", s"((($b >> $i) & 1) << ${2 * i + 1})")
+    }
+    val zkey = terms.mkString(" + ")
+    s"""WITH z AS (SELECT $a AS a, $b AS b, CAST($zkey AS BIGINT) AS zkey FROM documents),
+       |m AS (SELECT CAST((zkey >> 10) AS INTEGER) AS zbin, CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(a) AS a_min, MAX(a) AS a_max, MIN(b) AS b_min, MAX(b) AS b_max FROM z GROUP BY 1)
+       |SELECT zbin, n, a_min, a_max, b_min, b_max,
+       |  NOT (a_max < 64 OR a_min > 95) AS keep_a,
+       |  NOT (b_max < 64 OR b_min > 95) AS keep_b
+       |FROM m""".stripMargin
+  }
+
   /** Oracle for q_zorder_key: the bit-interleave replayed as a literal
     * sum of shift/mask terms — generated from the same (bits, binBits)
     * parameters the Spark query uses, so the two cannot drift. */
@@ -1227,6 +1268,57 @@ object SparkEntry {
         import s.implicits._
         val qt = bm25Queries.toDF("qid", "term")
         SearchOps.bm25TopK(t(s, d, "documents"), qt, k = 10)
+      }),
+      // the production retrieval shape: tf index + stats persisted ONCE
+      // per corpus snapshot (parquet round trip), every query run reads
+      // index-sized parquet — zero corpus scans, zero tokenization in
+      // the consumer plan (PlanSpec); identical scores, shared oracle
+      "q_bm25_indexed" -> ((s: SparkSession, d: String) => {
+        import s.implicits._
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+        val docs = t(s, d, "documents")
+        SearchOps.buildTfIndex(docs).write.mode("overwrite").parquet(s"$tmp/index")
+        SearchOps.corpusStats(docs).write.mode("overwrite").parquet(s"$tmp/stats")
+        SearchOps.bm25TopKFromIndex(s.read.parquet(s"$tmp/index"),
+          s.read.parquet(s"$tmp/stats"), bm25Queries.toDF("qid", "term"), k = 10)
+      }),
+      // incremental sketch maintenance: merge(stats(half A), stats(half
+      // B)) must equal stats(corpus) BIT FOR BIT — the whole-corpus SQL
+      // is the oracle, so a broken merge law cannot hide
+      "q_hll_merge" -> ((s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        SketchOps.mergeHllRegisters(
+          SketchOps.hllRegisters(docs.where(col("doc_id") % 2 === 0), col("text")),
+          SketchOps.hllRegisters(docs.where(col("doc_id") % 2 === 1), col("text")))
+      }),
+      "q_hist_merge" -> ((s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        SketchOps.mergeLogHistograms(
+          SketchOps.logHistogram(docs.where(col("doc_id") % 2 === 0), col("n_chars")),
+          SketchOps.logHistogram(docs.where(col("doc_id") % 2 === 1), col("n_chars")))
+      }),
+      "q_cms_merge" -> ((s: SparkSession, d: String) => {
+        val docs = t(s, d, "documents")
+        def words(half: DataFrame) = half
+          .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+          .where(col("w") =!= "")
+        SketchOps.mergeCmsSketches(
+          SketchOps.cmsSketch(words(docs.where(col("doc_id") % 2 === 0)), col("w")),
+          SketchOps.cmsSketch(words(docs.where(col("doc_id") % 2 === 1)), col("w")))
+      }),
+      // explicit zone map over the z-ordered layout + range-pruning
+      // verdicts: the planner-food form of the LayoutOpsSpec claim —
+      // a [64,95] slab on EITHER dimension keeps only a bin subset
+      "q_zone_map" -> ((s: SparkSession, d: String) => {
+        val laid = LayoutOps.zorderLayout(
+          t(s, d, "documents")
+            .withColumn("a", col("n_chars") % lit(256L))
+            .withColumn("b", col("doc_id") % lit(256L)),
+          col("a"), col("b"), bits = 8, binBits = 6)
+        val zm = LayoutOps.zoneMap(laid, col("zbin"), Seq("a", "b"))
+        LayoutOps.rangeKeep(LayoutOps.rangeKeep(zm, "a", 64, 95), "b", 64, 95)
+          .select(col("zbin"), col("n"), col("a_min"), col("a_max"),
+            col("b_min"), col("b_max"), col("keep_a"), col("keep_b"))
       }),
       // URL normalization: deterministic messy-URL synthesis (case, frag,
       // default ports, userinfo — one shared SQL snippet in both engines)
@@ -2309,11 +2401,14 @@ object SparkEntry {
            |GROUP BY a.anchor_id""".stripMargin),
       // the whole register table recomputed in SQL: md5 split + bin()-based
       // leading-zero count — bitwise agreement row for row
-      "q_hll_registers" ->
-        ("""WITH c AS (SELECT CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) AS register,
-           |  CAST('0x' || substr(md5(text), 3, 14) AS BIGINT) AS v FROM documents)
-           |SELECT register, MAX(CAST(CASE WHEN v = 0 THEN 57 ELSE 57 - length(bin(v)) END AS INTEGER)) AS max_rho
-           |FROM c GROUP BY register""".stripMargin),
+      "q_hll_registers" -> hllRegistersOracleSql,
+      // snapshot ∪ delta maintenance: merged halves must equal the
+      // whole-corpus sketch bit for bit — same oracles as the originals
+      "q_hll_merge" -> hllRegistersOracleSql,
+      "q_hist_merge" -> logHistogramOracleSql,
+      "q_cms_merge" -> cmsSketchOracleSql,
+      "q_zone_map" -> zoneMapOracleSql,
+      "q_bm25_indexed" -> bm25OracleSql,
       "q_hll_estimate" ->
         (s"""WITH c AS (SELECT CAST('0x' || substr(md5(text), 1, 2) AS INTEGER) AS register,
            |  CAST('0x' || substr(md5(text), 3, 14) AS BIGINT) AS v FROM documents),
@@ -2325,17 +2420,9 @@ object SparkEntry {
            |  z_present + CAST(256 - nonzero AS BIGINT) * 1099511627776 AS z_scaled,
            |  ${SketchOps.hllAlphaScaled(8)} / CAST(z_present + CAST(256 - nonzero AS BIGINT) * 1099511627776 AS DOUBLE) AS estimate_raw
            |FROM a""".stripMargin),
-      "q_log_histogram" ->
-        ("SELECT CASE WHEN n_chars <= 0 THEN -1 ELSE CAST(length(bin(n_chars)) AS INTEGER) - 1 END AS bin, " +
-          "CAST(COUNT(*) AS BIGINT) AS n, MIN(n_chars) AS min_v, MAX(n_chars) AS max_v " +
-          "FROM documents GROUP BY 1"),
+      "q_log_histogram" -> logHistogramOracleSql,
       // the full Count-Min counter matrix recomputed in SQL
-      "q_cms_sketch" ->
-        ("""WITH wf AS (SELECT w FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents) t WHERE w <> ''),
-           |ds AS (SELECT CAST(unnest(range(4)) AS INTEGER) AS d)
-           |SELECT d, CAST(CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || w), 1, 8) AS BIGINT) % 256 AS INTEGER) AS bucket,
-           |  CAST(COUNT(*) AS BIGINT) AS cnt
-           |FROM wf CROSS JOIN ds GROUP BY 1, 2""".stripMargin),
+      "q_cms_sketch" -> cmsSketchOracleSql,
       "q_cms_heavy" ->
         ("""WITH wf AS (SELECT w FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents) t WHERE w <> ''),
            |ds AS (SELECT CAST(unnest(range(4)) AS INTEGER) AS d),

@@ -63,6 +63,31 @@ object LayoutOps {
       .withColumn("zbin", shiftright(col("zkey"), 2 * bits - binBits).cast("int"))
   }
 
+  /** Zone map: per-bin min/max/count statistics for the given columns —
+    * the file-footer stats a format like parquet/Iceberg keeps, made
+    * explicit so pruning decisions are computable (and verifiable) as a
+    * query. One partial-agg pass; output is bins-sized, i.e. planner
+    * food, not data. Combine with [[zorderLayout]]: z-ordered bins have
+    * tight ranges in BOTH interleaved dimensions, which is exactly what
+    * makes [[rangeKeep]] prune on either. */
+  def zoneMap(df: DataFrame, bin: Column, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one stats column")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    df.groupBy(bin.as("zbin"))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+  }
+
+  /** Range-predicate pruning verdict over a [[zoneMap]]: adds
+    * `keep_<col>` = whether a scan of that bin can contain a row with
+    * col ∈ [lo, hi] (inclusive). A `false` is a bin the reader SKIPS —
+    * at 100 TB the difference between reading 8 files and 64 (the
+    * LayoutOpsSpec quantification). Pure per-row arithmetic on the
+    * bins-sized frame. */
+  def rangeKeep(zm: DataFrame, c: String, lo: Long, hi: Long): DataFrame =
+    zm.withColumn(s"keep_$c",
+      !(col(s"${c}_max") < lit(lo) || col(s"${c}_min") > lit(hi)))
+
   /** Write `df` as a bucketed + sorted parquet table: the one-time
     * shuffle that makes every later equi-join/aggregation on `key`
     * exchange-free (both sides bucketed on the same key and bucket

@@ -110,6 +110,35 @@ object SketchOps {
       .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"), max(col("v")).as("max_v"))
   }
 
+  /** Merge HLL register tables: per-register MAX. This is the whole
+    * incremental-maintenance story made first-class: registers(snapshot ∪
+    * delta) = merge(registers(snapshot), registers(delta)), so corpus
+    * cardinality stats update from a day's delta without rescanning the
+    * 100 TB history — the driver row proves merged-halves ≡ whole-corpus
+    * bit for bit. Inputs are [[hllRegisters]] frames with the same p. */
+  def mergeHllRegisters(rs: DataFrame*): DataFrame = {
+    require(rs.nonEmpty, "need at least one register table")
+    rs.reduce(_ unionByName _).groupBy(col("register"))
+      .agg(max(col("max_rho")).as("max_rho"))
+  }
+
+  /** Merge log2 histograms: counts add, extrema combine — same
+    * incremental contract as [[mergeHllRegisters]]. */
+  def mergeLogHistograms(hs: DataFrame*): DataFrame = {
+    require(hs.nonEmpty, "need at least one histogram")
+    hs.reduce(_ unionByName _).groupBy(col("bin"))
+      .agg(sum(col("n")).as("n"), min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"))
+  }
+
+  /** Merge Count-Min sketches: counters add per (d, bucket). Sketches
+    * must share (depth, width) and hash family — ours is fixed by
+    * [[cmsBucket]], so any two [[cmsSketch]] outputs merge. */
+  def mergeCmsSketches(ss: DataFrame*): DataFrame = {
+    require(ss.nonEmpty, "need at least one sketch")
+    ss.reduce(_ unionByName _).groupBy(col("d"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** Quantile estimates read off the mergeable [[logHistogram]]: for each
     * requested quantile q = q_num/q_den the answer is the smallest bin whose
     * cumulative count reaches ceil(q·total) — entirely BIGINT arithmetic

@@ -82,6 +82,25 @@ class LayoutOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0)
   }
 
+  test("zoneMap + rangeKeep: kept-bin counts match the pruning geometry") {
+    val sp = spark; import sp.implicits._
+    val n = 64
+    val grid = (for (a <- 0 until n; b <- 0 until n) yield (a.toLong, b.toLong)).toDF("a", "b")
+    val laid = LayoutOps.zorderLayout(grid, col("a"), col("b"), bits = 6, binBits = 6)
+    val zm = LayoutOps.zoneMap(laid, col("zbin"), Seq("a", "b"))
+    val flagged = LayoutOps.rangeKeep(LayoutOps.rangeKeep(zm, "a", 8, 15), "b", 8, 15)
+    // 64 bins = 8x8 tiles; the [8,15] slab is exactly one tile-row/column
+    assert(flagged.count() == 64)
+    assert(flagged.where(col("keep_a")).count() == 8)
+    assert(flagged.where(col("keep_b")).count() == 8)
+    // keep flags are sound: every bin with a matching row is kept
+    val mustKeepA = laid.where(col("a") >= 8 && col("a") <= 15)
+      .select("zbin").distinct().as[Int].collect().toSet
+    val keptA = flagged.where(col("keep_a")).select(col("zbin").cast("int"))
+      .as[Int].collect().toSet
+    assert(mustKeepA.subsetOf(keptA))
+  }
+
   test("bucketed join + keyed agg: result identical to the plain formulation") {
     val sp = spark; import sp.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-bktspec").toString

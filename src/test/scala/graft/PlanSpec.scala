@@ -306,6 +306,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("*(1)"), s"not codegen'd:\n$p")
   }
 
+  test("bm25 over a persisted tf index: zero corpus scans, zero tokenization") {
+    val sp = spark; import sp.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("plan-bm25idx").toString
+    operators.SearchOps.buildTfIndex(docs).write.parquet(s"$tmp/index")
+    operators.SearchOps.corpusStats(docs).write.parquet(s"$tmp/stats")
+    val qt = Seq((1, "hash"), (1, "join")).toDF("qid", "term")
+    val df = operators.SearchOps.bm25TopKFromIndex(
+      spark.read.parquet(s"$tmp/index"), spark.read.parquet(s"$tmp/stats"), qt, k = 10)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // consumer reads index-sized parquet only: no split/explode of text
+    assert(!p.contains("split("), s"consumer plan tokenizes:\n$p")
+    assert(!p.contains("Generate"), s"consumer plan explodes:\n$p")
+    assert(!p.contains("documents.parquet"), s"consumer plan scans the corpus:\n$p")
+  }
+
   test("bm25: stats/df/query frames broadcast; only query-term rows shuffle") {
     val sp = spark; import sp.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

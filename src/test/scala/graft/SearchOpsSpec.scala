@@ -82,6 +82,26 @@ class SearchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(_._1 == 2).minBy(_._4)._2 == 2L)
   }
 
+  test("bm25TopKFromIndex through a parquet round trip equals the direct scan") {
+    val sp = spark; import sp.implicits._
+    val docs = corpus.toDF("doc_id", "text")
+    val qt = queries.toDF("qid", "term")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25idx-spec").toString
+    SearchOps.buildTfIndex(docs).write.parquet(s"$tmp/index")
+    SearchOps.corpusStats(docs).write.parquet(s"$tmp/stats")
+    val viaIndex = SearchOps.bm25TopKFromIndex(
+        spark.read.parquet(s"$tmp/index"), spark.read.parquet(s"$tmp/stats"), qt, k = 10)
+      .as[(Int, Long, Long, Int)].collect().toSet
+    val direct = SearchOps.bm25TopK(docs, qt, k = 10)
+      .as[(Int, Long, Long, Int)].collect().toSet
+    assert(viaIndex == direct && direct.nonEmpty)
+    // the index is query-independent: full vocabulary, dl carried per doc
+    val idx = spark.read.parquet(s"$tmp/index")
+    assert(idx.columns.toSet == Set("doc_id", "dl", "term", "tf"))
+    assert(idx.select("term").distinct().count() >
+      queries.map(_._2).distinct.size.toLong)
+  }
+
   test("bm25TopK is repartition-invariant (scores are integer sums)") {
     val sp = spark; import sp.implicits._
     val docs = corpus.toDF("doc_id", "text")

@@ -121,6 +121,38 @@ class SketchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged == got)
   }
 
+  test("merge ops: sketch(a ++ b) == merge(sketch(a), sketch(b)) for HLL, histogram, CMS") {
+    val sp = spark; import sp.implicits._
+    val all = Seq.tabulate(400)(i => s"item-${i % 157}")
+    val (a, b) = all.splitAt(143)
+    // HLL: per-register max
+    val wholeHll = SketchOps.hllRegisters(all.toDF("x"), col("x"))
+      .as[(Int, Int)].collect().toMap
+    val mergedHll = SketchOps.mergeHllRegisters(
+        SketchOps.hllRegisters(a.toDF("x"), col("x")),
+        SketchOps.hllRegisters(b.toDF("x"), col("x")))
+      .as[(Int, Int)].collect().toMap
+    assert(mergedHll == wholeHll)
+    // histogram: counts add, extrema combine
+    val lens = all.map(_.length.toLong)
+    val (la, lb) = lens.splitAt(143)
+    val wholeHist = SketchOps.logHistogram(lens.toDF("v"), col("v"))
+      .as[(Int, Long, Long, Long)].collect().toSet
+    val mergedHist = SketchOps.mergeLogHistograms(
+        SketchOps.logHistogram(la.toDF("v"), col("v")),
+        SketchOps.logHistogram(lb.toDF("v"), col("v")))
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(mergedHist == wholeHist)
+    // CMS: counters add
+    val wholeCms = SketchOps.cmsSketch(all.toDF("w"), col("w"))
+      .as[(Int, Int, Long)].collect().toSet
+    val mergedCms = SketchOps.mergeCmsSketches(
+        SketchOps.cmsSketch(a.toDF("w"), col("w")),
+        SketchOps.cmsSketch(b.toDF("w"), col("w")))
+      .as[(Int, Int, Long)].collect().toSet
+    assert(mergedCms == wholeCms)
+  }
+
   test("logHistogramQuantiles: answer bin is the exact quantile's bin, every q") {
     val sp = spark; import sp.implicits._
     // skewed values across several octaves, n = 100
