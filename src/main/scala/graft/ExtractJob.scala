@@ -139,15 +139,37 @@ object ExtractJob {
     * directory — invisible to resume, so those docs are re-extracted by the
     * next run (no silent gaps) and never double-counted (no dupes).
     * Returns the full committed span output. */
+  /** Committed snapshot history, oldest first: the manifest the atomic
+    * swap maintains — the resume, expiry, and time-travel seam. */
+  def committedSnapshots(outDir: String): Seq[String] = {
+    val f = java.nio.file.Paths.get(s"$outDir/_committed")
+    if (java.nio.file.Files.exists(f))
+      new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        .split("\n").toSeq.filter(_.nonEmpty)
+    else Seq.empty
+  }
+
+  /** Time-travel read (Iceberg `VERSION AS OF` over the emulated commit
+    * protocol): the committed table exactly as it was the instant
+    * `asOfRun`'s atomic manifest swap landed — the manifest prefix up to
+    * and including that run. Works because committed runs are immutable
+    * (resume anti-joins on the manifest, never rewrites) — every
+    * historical snapshot stays reconstructible until [[vacuumRuns]]
+    * expires it. The read is partition-pruned to the visible run dirs;
+    * no filter scans later data. */
+  def readAsOf(outDir: String, asOfRun: String)(implicit spark: SparkSession): DataFrame = {
+    val runs = committedSnapshots(outDir)
+    val idx = runs.indexOf(asOfRun)
+    require(idx >= 0, s"run '$asOfRun' is not committed in $outDir (have: ${runs.mkString(", ")})")
+    spark.read.parquet(runs.take(idx + 1).map(r => s"$outDir/spans_out/run=$r"): _*)
+  }
+
   def run(docs0: DataFrame, media: DataFrame, outDir: String, runId: String,
           numPartitions: Int = 0)(implicit spark: SparkSession): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val parts = if (numPartitions > 0) numPartitions else spark.sessionState.conf.numShufflePartitions
     val committedFile = Paths.get(s"$outDir/_committed")
-    val committedRuns: Seq[String] =
-      if (Files.exists(committedFile))
-        new String(Files.readAllBytes(committedFile), "UTF-8").split("\n").toSeq.filter(_.nonEmpty)
-      else Seq.empty
+    val committedRuns: Seq[String] = committedSnapshots(outDir)
     def spansDir(r: String) = s"$outDir/spans_out/run=$r"
 
     // resume: drop doc_ids present in COMMITTED runs only

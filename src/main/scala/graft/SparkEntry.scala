@@ -1306,6 +1306,13 @@ object SparkEntry {
           SketchOps.cmsSketch(words(docs.where(col("doc_id") % 2 === 0)), col("w")),
           SketchOps.cmsSketch(words(docs.where(col("doc_id") % 2 === 1)), col("w")))
       }),
+      // deterministic train/val/test split: content-addressed hex ranges
+      // — disjoint/exhaustive by construction, repartition- and
+      // snapshot-stable (a doc keeps its split as the corpus changes)
+      "q_split_corpus" -> ((s: SparkSession, d: String) =>
+        TrainingOps.splitCorpus(t(s, d, "documents"), "doc_id",
+            Seq("a0000000" -> "train", "d0000000" -> "val"), "test")
+          .select(col("doc_id"), col("split"))),
       // explicit zone map over the z-ordered layout + range-pruning
       // verdicts: the planner-food form of the LayoutOpsSpec claim —
       // a [64,95] slab on EITHER dimension keeps only a bin subset
@@ -1751,6 +1758,26 @@ object SparkEntry {
       // one span row per doc (no dupes, no gaps), and per-run metrics rows
       // prove run-2 extracted ONLY the new doc (resume skipped committed
       // work instead of recomputing it).
+      // Iceberg VERSION AS OF over the emulated commit protocol: after an
+      // incremental second run, reading AS OF run1 returns exactly the
+      // table the moment run1 committed; AS OF run2 the full table
+      "x_time_travel" -> ((s: SparkSession, _: String) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val fs2 = fx(resumeFixtures: _*)
+        val fs1 = fs2.dropRight(1)
+        def docsDf(fs: Seq[PdfBuilder.Fixture]) = sp.createDataset(fs.map(f =>
+          Model.DocRow(f.name, Seq(Model.InSpan("pdf", "", f.name, 0))))).toDF()
+        val media = sp.createDataset(fs2.map(f =>
+          Model.MediaRow(f.name, f.bytes, sizeBucket(f.bytes.length)))).toDF()
+        val tmp = java.nio.file.Files.createTempDirectory("graft-travel").toString
+        ExtractJob.run(docsDf(fs1), media, tmp, "run1")
+        ExtractJob.run(docsDf(fs2), media, tmp, "run2")
+        def view(r: String) = ExtractJob.readAsOf(tmp, r)
+          .select(lit(r).as("as_of"), col("doc_id"), col("order").as("ord"),
+            col("kind"), col("text"), col("media_ref"))
+        view("run1").unionByName(view("run2"))
+      }),
       "x_resume" -> ((s: SparkSession, _: String) => {
         implicit val sp: SparkSession = s
         import sp.implicits._
@@ -2051,6 +2078,17 @@ object SparkEntry {
 
   /** By-construction oracle for x_resume: one span row per doc plus the
     * per-run metrics rows (run1 extracted 2 media, run2 only the 1 new). */
+  /** Oracle for x_time_travel, derived from the fixture expectations:
+    * AS OF run1 sees only run1's docs; AS OF run2 sees all. */
+  private def timeTravelOracle: String = {
+    val fs2 = fx(resumeFixtures: _*)
+    val fs1 = fs2.dropRight(1)
+    def row(asOf: String, f: PdfBuilder.Fixture) =
+      s"('$asOf', ${sqlStr(f.name)}, 0, 'pdf_text', ${sqlStr(f.expected)}, ${sqlStr(f.name)})"
+    val rows = fs1.map(row("run1", _)) ++ fs2.map(row("run2", _))
+    s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(as_of, doc_id, ord, kind, text, media_ref)"
+  }
+
   private def resumeOracle: String = {
     val fs2 = fx(resumeFixtures: _*)
     val rows = fs2.map(f =>
@@ -2605,6 +2643,12 @@ object SparkEntry {
           "(24, 'don' || chr(8217) || 't')) AS t(doc_id, clean_text)"),
       "q_media_gif_frames" -> mediaGifFramesOracle,
       "x_resume" -> resumeOracle,
+      "x_time_travel" -> timeTravelOracle,
+      // same md5 hex ranges, same salt, same ascending first-match rule
+      "q_split_corpus" ->
+        ("SELECT doc_id, CASE WHEN h < 'a0000000' THEN 'train' " +
+          "WHEN h < 'd0000000' THEN 'val' ELSE 'test' END AS split " +
+          "FROM (SELECT doc_id, substr(md5(doc_id::VARCHAR || ':split42'), 1, 8) AS h FROM documents) t"),
       "x_html_mixed" -> htmlMixedOracle,
       "x_html_images" -> htmlImagesOracle,
       "x_html_links" -> htmlLinksOracle,

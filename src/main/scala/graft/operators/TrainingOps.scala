@@ -785,6 +785,27 @@ object TrainingOps {
     docs.where(substring(md5(concat(col(keyCol).cast("string"), lit(":" + salt)).cast("binary")), 1, 8)
       < lit(rateHex))
 
+  /** Deterministic train/val/test split: the same content-addressed MD5
+    * as [[deterministicSample]] assigns each row exactly ONE split by
+    * hex-range — disjoint and exhaustive by construction, stable under
+    * repartitioning and reruns, and a document KEEPS its split when the
+    * corpus around it grows or shrinks (no train/test leakage drift
+    * between snapshots — the property a random split cannot give).
+    * `bounds` are ascending 8-hex upper bounds with their split names;
+    * rows above the last bound get `lastName`. Pure codegen, one narrow
+    * pass. */
+  def splitCorpus(docs: DataFrame, keyCol: String,
+                  bounds: Seq[(String, String)], lastName: String,
+                  salt: String = "split42"): DataFrame = {
+    require(bounds.nonEmpty && bounds.map(_._1) == bounds.map(_._1).sorted,
+      "bounds must be ascending hex thresholds")
+    val h = substring(md5(concat(col(keyCol).cast("string"), lit(":" + salt)).cast("binary")), 1, 8)
+    val split = bounds.foldRight(lit(lastName)) { case ((hex, name), acc) =>
+      when(h < lit(hex), lit(name)).otherwise(acc)
+    }
+    docs.withColumn("split", split)
+  }
+
   /** Vocabulary top-k: term frequencies over whitespace tokens. Classic
     * map-side-combined aggregation; ties broken by term for determinism. */
   def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame =

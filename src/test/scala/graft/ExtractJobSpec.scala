@@ -67,6 +67,53 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(secondHalf.nonEmpty)
   }
 
+  test("time travel: readAsOf reconstructs every committed snapshot exactly") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val built = Corpus.build(nDocs = 18, heavyEvery = 1000)
+    val (firstHalf, _) = built.docs.splitAt(9)
+    val media = s.createDataset(built.media).toDF()
+    val out = tmpDir()
+    val afterR1 = ExtractJob.run(s.createDataset(firstHalf).toDF(), media, out, runId = "r1")
+      .as[Model.OutSpan].collect().map(o => (o.doc_id, o.order, o.text)).sorted
+    ExtractJob.run(s.createDataset(built.docs).toDF(), media, out, runId = "r2")
+    assert(ExtractJob.committedSnapshots(out) == Seq("r1", "r2"))
+    // AS OF r1 = exactly what run 1 returned, even after r2 committed
+    val asOf1 = ExtractJob.readAsOf(out, "r1")
+      .as[Model.OutSpan].collect().map(o => (o.doc_id, o.order, o.text)).sorted
+    assert(asOf1.toSeq == afterR1.toSeq)
+    // AS OF r2 = the full corpus
+    val asOf2 = ExtractJob.readAsOf(out, "r2")
+      .as[Model.OutSpan].collect().map(o => (o.doc_id, o.order, o.text)).sorted
+    val want = built.expected.map(o => (o.doc_id, o.order, o.text)).sorted
+    assert(asOf2.toSeq == want)
+    // unknown run is an explicit error, not an empty frame
+    intercept[IllegalArgumentException] { ExtractJob.readAsOf(out, "nope") }
+  }
+
+  test("splitCorpus: disjoint, exhaustive, repartition- and snapshot-stable") {
+    val s = spark; import s.implicits._
+    val docs = Seq.tabulate(2000)(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+    val bounds = Seq("a0000000" -> "train", "d0000000" -> "val")
+    val split = operators.TrainingOps.splitCorpus(docs, "doc_id", bounds, "test")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // exhaustive: every row got exactly one split
+    assert(split.size == 2000)
+    // fractions near the hex ranges (train 62.5%, val 18.75%, test 18.75%)
+    val n = split.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(math.abs(n("train") - 1250) < 100, n.toString)
+    assert(math.abs(n("val") - 375) < 75, n.toString)
+    // repartition-stable
+    val re = operators.TrainingOps.splitCorpus(docs.repartition(13), "doc_id", bounds, "test")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(re == split)
+    // snapshot-stable: a doc keeps its split inside a different corpus
+    val subset = operators.TrainingOps.splitCorpus(
+        docs.where($"doc_id" < 500), "doc_id", bounds, "test")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    subset.foreach { case (id, sp2) => assert(sp2 == split(id)) }
+  }
+
   test("vacuumRuns deletes only uncommitted (crashed) run dirs") {
     implicit val s: SparkSession = spark
     import s.implicits._
