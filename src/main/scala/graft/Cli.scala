@@ -13,6 +13,14 @@ package graft
   *   runMain graft.Cli clean <documents.pq> <outDir>
   *       normalize → dedup → quality-gate → deterministic-sample; kept
   *       doc_ids written as parquet under outDir
+  *   runMain graft.Cli index <documents.pq> <indexDir>
+  *       build the persisted BM25 tf index + corpus stats (tokenize once
+  *       per snapshot; `search` runs read only the index)
+  *   runMain graft.Cli search <indexDir> <term> [term ...]
+  *       fixed-point BM25 top-10 doc ids for the terms, ranked
+  *   runMain graft.Cli split <documents.pq> <outDir>
+  *       deterministic snapshot-stable train/val/test split (90/5/5),
+  *       written partitioned by split
   *   runMain graft.Cli tokenize <documents.pq> <outDir> [numMerges]
   *       the tokenizer loop: learn BPE merges on the corpus (greedy,
   *       Sennrich semantics), write the merge table to outDir/merges and
@@ -100,11 +108,49 @@ object Cli {
         .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
       println(s"audit ${if (counts.isEmpty) "clean" else counts}")
 
+    case Some("index") =>
+      if (args.length < 3) {
+        System.err.println("usage: graft.Cli index <documents.parquet> <indexDir>")
+        sys.exit(2)
+      }
+      val spark = session()
+      val docs = spark.read.parquet(args(1))
+      operators.SearchOps.buildTfIndex(docs).write.mode("overwrite").parquet(s"${args(2)}/index")
+      operators.SearchOps.corpusStats(docs).write.mode("overwrite").parquet(s"${args(2)}/stats")
+      println(s"indexed_postings=${spark.read.parquet(s"${args(2)}/index").count()}")
+
+    case Some("search") =>
+      if (args.length < 3) {
+        System.err.println("usage: graft.Cli search <indexDir> <term> [term ...]   (index built by `index`)")
+        sys.exit(2)
+      }
+      val spark = session()
+      import spark.implicits._
+      val qt = args.drop(2).toSeq.map(t => (1, t.toLowerCase)).toDF("qid", "term")
+      operators.SearchOps.bm25TopKFromIndex(
+          spark.read.parquet(s"${args(1)}/index"),
+          spark.read.parquet(s"${args(1)}/stats"), qt, k = 10)
+        .orderBy(org.apache.spark.sql.functions.col("rk"))
+        .collect().foreach(r => println(s"rank=${r.get(3)} doc_id=${r.get(1)} score_fp=${r.get(2)}"))
+
+    case Some("split") =>
+      if (args.length < 3) {
+        System.err.println("usage: graft.Cli split <documents.parquet> <outDir>")
+        sys.exit(2)
+      }
+      val spark = session()
+      val assigned = operators.TrainingOps.splitCorpus(spark.read.parquet(args(1)),
+        "doc_id", Seq("e6666666" -> "train", "f3333333" -> "val"), "test")
+      assigned.write.mode("overwrite").partitionBy("split").parquet(args(2))
+      val counts = spark.read.parquet(args(2)).groupBy("split").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      println(s"split $counts")
+
     case _ =>
       val (flags, files) = args.partition(_.startsWith("--"))
       val perPage = flags.contains("--pages")
       if (files.isEmpty) {
-        System.err.println("usage: graft.Cli [--pages] <file.pdf> [more.pdf ...] | extract ... | clean ... | repair ... | audit ...")
+        System.err.println("usage: graft.Cli [--pages] <file.pdf> [more.pdf ...] | extract ... | clean ... | repair ... | audit ... | index ... | search ... | split ...")
         sys.exit(2)
       }
       var failed = 0

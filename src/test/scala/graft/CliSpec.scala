@@ -99,6 +99,27 @@ class CliSpec extends AnyFunSuite {
         .write.parquet(s"$base/audit_docs")
       val out5 = withCapturedOut(Cli.main(Array("audit", s"$base/audit_docs", s"$base/media")))
       assert(out5.trim.startsWith("audit dangling=1 orphan="), s"got [$out5]")
+
+      // index + search: the build-once-query-many retrieval surface
+      spark.createDataset(Seq(
+        (10L, "spark shuffle join hash join"),
+        (11L, "sort merge join window"),
+        (12L, "completely unrelated words")))
+        .toDF("doc_id", "text").write.parquet(s"$base/search_docs")
+      val out6 = withCapturedOut(Cli.main(Array("index", s"$base/search_docs", s"$base/idx")))
+      assert(out6.trim.startsWith("indexed_postings="), s"got [$out6]")
+      val out7 = withCapturedOut(Cli.main(Array("search", s"$base/idx", "hash", "join")))
+      val ranks = out7.linesIterator.toSeq
+      assert(ranks.nonEmpty && ranks.head.startsWith("rank=1 doc_id=10"), s"got [$out7]")
+      assert(!out7.contains("doc_id=12"), s"non-matching doc retrieved: [$out7]")
+
+      // split: deterministic partitioned train/val/test layout
+      val out8 = withCapturedOut(Cli.main(Array("split", s"$base/search_docs", s"$base/splits")))
+      assert(out8.trim.startsWith("split "), s"got [$out8]")
+      val splitDirs = new java.io.File(s"$base/splits").listFiles()
+        .map(_.getName).filter(_.startsWith("split=")).sorted
+      assert(splitDirs.nonEmpty && splitDirs.forall(d =>
+        Set("split=train", "split=val", "split=test").contains(d)), splitDirs.mkString(","))
     } finally spark.stop()
   }
 }
