@@ -128,17 +128,6 @@ object ExtractJob {
     pdfSpans.unionByName(textSpans)
   }
 
-  /** Full job with resume + lineage + metrics; emulates Iceberg snapshot
-    * commits with per-run staged directories plus an atomically-replaced
-    * `_committed` manifest (Iceberg jars are absent in the sandbox — see
-    * SURVEY.md §7 "Iceberg absent").
-    *
-    * Commit protocol: each run writes spans/lineage/metrics under its own
-    * `run=<id>` directory, then the manifest is swapped via temp-file +
-    * ATOMIC_MOVE. A crash mid-run leaves partial files in an UNLISTED
-    * directory — invisible to resume, so those docs are re-extracted by the
-    * next run (no silent gaps) and never double-counted (no dupes).
-    * Returns the full committed span output. */
   /** Committed snapshot history, oldest first: the manifest the atomic
     * swap maintains — the resume, expiry, and time-travel seam. */
   def committedSnapshots(outDir: String): Seq[String] = {
@@ -164,6 +153,17 @@ object ExtractJob {
     spark.read.parquet(runs.take(idx + 1).map(r => s"$outDir/spans_out/run=$r"): _*)
   }
 
+  /** Full job with resume + lineage + metrics; emulates Iceberg snapshot
+    * commits with per-run staged directories plus an atomically-replaced
+    * `_committed` manifest (Iceberg jars are absent in the sandbox — see
+    * SURVEY.md §7 "Iceberg absent").
+    *
+    * Commit protocol: each run writes spans/lineage/metrics under its own
+    * `run=<id>` directory, then the manifest is swapped via temp-file +
+    * ATOMIC_MOVE. A crash mid-run leaves partial files in an UNLISTED
+    * directory — invisible to resume, so those docs are re-extracted by the
+    * next run (no silent gaps) and never double-counted (no dupes).
+    * Returns the full committed span output. */
   def run(docs0: DataFrame, media: DataFrame, outDir: String, runId: String,
           numPartitions: Int = 0)(implicit spark: SparkSession): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -240,11 +240,7 @@ object ExtractJob {
   def vacuumRuns(outDir: String, minAgeMs: Long = 24L * 3600 * 1000): Seq[String] = {
     import java.nio.file.{Files, Paths, Path}
     import scala.jdk.CollectionConverters._
-    val committedFile = Paths.get(s"$outDir/_committed")
-    def committedNow(): Set[String] =
-      if (Files.exists(committedFile))
-        new String(Files.readAllBytes(committedFile), "UTF-8").split("\n").filter(_.nonEmpty).toSet
-      else Set.empty
+    def committedNow(): Set[String] = committedSnapshots(outDir).toSet
     def listDir(p: Path): Seq[Path] = {
       val s = Files.list(p)
       try s.iterator().asScala.toSeq finally s.close() // Files.list leaks a fd unless closed

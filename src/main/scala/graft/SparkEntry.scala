@@ -1753,11 +1753,6 @@ object SparkEntry {
         sp.read.parquet(s"$tmp/out/spans_out")
           .select(col("doc_id"), col("ord"), col("kind"), col("text"), col("media_ref"))
       }),
-      // resume/crash-safety under the hard gate: run-1 commits a subset,
-      // run-2 sees the full doc set. The committed union must hold exactly
-      // one span row per doc (no dupes, no gaps), and per-run metrics rows
-      // prove run-2 extracted ONLY the new doc (resume skipped committed
-      // work instead of recomputing it).
       // Iceberg VERSION AS OF over the emulated commit protocol: after an
       // incremental second run, reading AS OF run1 returns exactly the
       // table the moment run1 committed; AS OF run2 the full table
@@ -1778,6 +1773,11 @@ object SparkEntry {
             col("kind"), col("text"), col("media_ref"))
         view("run1").unionByName(view("run2"))
       }),
+      // resume/crash-safety under the hard gate: run-1 commits a subset,
+      // run-2 sees the full doc set. The committed union must hold exactly
+      // one span row per doc (no dupes, no gaps), and per-run metrics rows
+      // prove run-2 extracted ONLY the new doc (resume skipped committed
+      // work instead of recomputing it).
       "x_resume" -> ((s: SparkSession, _: String) => {
         implicit val sp: SparkSession = s
         import sp.implicits._

@@ -114,6 +114,8 @@ object JoinOps {
                  bigId: String, salts: Int): DataFrame = {
     require(salts >= 2 && salts <= 1024, "salts must be in [2, 1024]")
     require(keys.nonEmpty, "need at least one join key")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "__salt is reserved by saltedJoin — rename the input column")
     val b = big.withColumn("__salt", pmod(xxhash64(col(bigId)), lit(salts.toLong)))
     val s = small.withColumn("__salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
     b.join(s, keys :+ "__salt").drop("__salt")

@@ -32,7 +32,9 @@ import org.apache.spark.sql.functions._
 object SearchOps {
 
   private def withTokens(docs: DataFrame): DataFrame = {
-    val arr = split(lower(col("text")), "\\s+")
+    // coalesce: a NULL text (failed extraction) must behave as an empty
+    // doc (dl = 0), NOT poison the stats — size(split(NULL)) is -1
+    val arr = split(lower(coalesce(col("text"), lit(""))), "\\s+")
     docs.select(col("doc_id"), arr.as("__arr"))
       .withColumn("dl", size(filter(col("__arr"), t => t =!= lit(""))).cast("long"))
   }

@@ -278,7 +278,8 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("salted join: the exchange keys on (key, salt), spreading hot keys") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .select(col("l_partkey").as("pk"), col("l_orderkey").as("row_id"))
+      .select(col("l_partkey").as("pk"),
+        concat(col("l_orderkey"), lit(":"), col("l_linenumber")).as("row_id"))
     val pt = spark.read.parquet(s"$sfDir/part.parquet")
       .select(col("p_partkey").as("pk"), col("p_brand"))
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -29,14 +29,15 @@ class SearchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     (3L, "hash hash hash table scan"),
     (4L, "completely unrelated words here"),
     (5L, ""), // empty doc: counts toward N, never retrieved
-    (6L, "join")
+    (6L, "join"),
+    (7L, null) // NULL text (failed extraction): behaves as empty, dl = 0
   )
   private val queries = Seq((1, "hash"), (1, "join"), (2, "window"))
 
   /** Reference scorer: same expression tree, plain Scala. */
   private def refScores(k: Int): Seq[(Int, Long, Long, Int)] = {
     val toks = corpus.map { case (id, t) =>
-      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      id -> Option(t).getOrElse("").toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     }
     val nDocs = corpus.size.toLong
     val sumDl = toks.map(_._2.size.toLong).sum
@@ -49,7 +50,9 @@ class SearchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } yield {
       val dl = ts.size.toLong
       val idf = (nDocs - df(term) + 0.5) / (df(term) + 0.5)
-      val tfc = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl * nDocs).toDouble / sumDl))
+      // parenthesize exactly as production: 0.75 * (dl*N / sumdl) — NOT
+      // (0.75 * dl*N) / sumdl; IEEE ops are exact-rounded, not associative
+      val tfc = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * ((dl * nDocs).toDouble / sumDl)))
       (qid, id) -> math.floor(1000000.0 * idf * tfc).toLong
     }
     val agg = perDoc.groupBy(_._1).map { case ((q, d), xs) => (q, d, xs.map(_._2).sum) }
@@ -76,8 +79,8 @@ class SearchOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[(Int, Long, Long, Int)].collect().toSeq
     assert(got.groupBy(_._1).values.forall(_.size <= 2))
     assert(got.forall(_._4 <= 2))
-    // doc 4 (no query terms) and doc 5 (empty) never retrieved
-    assert(!got.exists(r => r._2 == 4L || r._2 == 5L))
+    // doc 4 (no query terms), doc 5 (empty), doc 7 (null text) never retrieved
+    assert(!got.exists(r => r._2 == 4L || r._2 == 5L || r._2 == 7L))
     // rarer term separates: for qid 2 ("window"), doc 2 must rank first
     assert(got.filter(_._1 == 2).minBy(_._4)._2 == 2L)
   }
