@@ -27,24 +27,45 @@ object WebOps {
     * Non-URL rows parse to empty strings rather than erroring — at
     * corpus scale a malformed URL is data, not an exception. */
   def parseUrls(df: DataFrame, url: Column): DataFrame = {
-    val noFrag = regexp_replace(url, "#.*", "")
-    val scheme = lower(regexp_extract(noFrag, SchemeRe, 1))
-    val auth = regexp_extract(noFrag, SchemeRe + "([^/?#]*)", 2)
-    val host = lower(regexp_extract(auth, "^(?:[^@]*@)?([^:]*)", 1))
-    val port = regexp_extract(auth, ":([0-9]+)$", 1)
-    val pathq = regexp_extract(noFrag, SchemeRe + "[^/?#]*(.*)", 2)
+    // Staged projections, NOT one big Column tree: every intermediate
+    // referenced more than once downstream (noFrag 3x, auth 2x, host 3x,
+    // scheme/port/pathq 2-3x inside url_norm) becomes an attribute, so it
+    // is computed ONCE per row and passed as a codegen local. Inlining
+    // them (the original shape) duplicates the sub-trees multiplicatively;
+    // composed with resolveUrls + a second parseUrls in one plan that
+    // crossed janino's 64 KB method limit and dropped the whole stage to
+    // interpreted eval (bench run N: x_frontier_chain at 65 s on 6 rows).
+    // CollapseProject keeps these Projects separate because the producers
+    // (regexp_extract) are non-cheap and multiply referenced.
+    // The coalesce makes __pu_nofrag — and therefore every derived column
+    // — non-nullable BY CONSTRUCTION (a null url parses like a malformed
+    // one: all-empty). This is not just semantics: a downstream join on
+    // `host` infers IsNotNull(host) only for a nullable key, and predicate
+    // pushdown substitutes that filter through every Project alias,
+    // re-inlining the whole parse/resolve tree into one giant predicate —
+    // the second half of the 64 KB codegen overflow.
+    val s1 = df.withColumn("__pu_nofrag",
+      coalesce(regexp_replace(url, "#.*", ""), lit("")))
+    val s2 = s1.withColumn("__pu_auth",
+      regexp_extract(col("__pu_nofrag"), SchemeRe + "([^/?#]*)", 2))
+    val s3 = s2
+      .withColumn("scheme", lower(regexp_extract(col("__pu_nofrag"), SchemeRe, 1)))
+      .withColumn("host",
+        lower(regexp_extract(col("__pu_auth"), "^(?:[^@]*@)?([^:]*)", 1)))
+      .withColumn("__pu_port", regexp_extract(col("__pu_auth"), ":([0-9]+)$", 1))
+      .withColumn("__pu_pathq",
+        regexp_extract(col("__pu_nofrag"), SchemeRe + "[^/?#]*(.*)", 2))
     val portSeg = when(
-      port === "" ||
-        (scheme === "http" && port === "80") ||
-        (scheme === "https" && port === "443"), lit(""))
-      .otherwise(concat(lit(":"), port))
-    val path1 = when(pathq === "", lit("/")).otherwise(pathq)
-    df.withColumn("scheme", scheme)
-      .withColumn("host", host)
-      .withColumn("domain", regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+      col("__pu_port") === "" ||
+        (col("scheme") === "http" && col("__pu_port") === "80") ||
+        (col("scheme") === "https" && col("__pu_port") === "443"), lit(""))
+      .otherwise(concat(lit(":"), col("__pu_port")))
+    val path1 = when(col("__pu_pathq") === "", lit("/")).otherwise(col("__pu_pathq"))
+    s3.withColumn("domain", regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
       .withColumn("url_norm",
-        when(scheme === "", lit(""))
-          .otherwise(concat(scheme, lit("://"), host, portSeg, path1)))
+        when(col("scheme") === "", lit(""))
+          .otherwise(concat(col("scheme"), lit("://"), col("host"), portSeg, path1)))
+      .drop("__pu_nofrag", "__pu_auth", "__pu_port", "__pu_pathq")
   }
 
   /** URL-keyed dedup: one row per normalized URL with the representative
@@ -175,38 +196,55 @@ object WebOps {
     * base failed to parse (`url_norm = ""`) resolve relative hrefs to ""
     * (the caller's drop signal) while absolute hrefs still pass. */
   def resolveUrls(parsed: DataFrame, href: Column, out: String = "resolved"): DataFrame = {
-    val h = regexp_replace(href, "#.*", "") // frontier never keeps fragments
-    val bscheme = regexp_extract(col("url_norm"), "^([a-z0-9+.-]+):", 1)
-    val bauth = regexp_extract(col("url_norm"), "^([a-z0-9+.-]+://[^/?#]*)", 1)
-    val bpathq = regexp_extract(col("url_norm"), "^[a-z0-9+.-]+://[^/?#]*(.*)$", 1)
-    val bpath = regexp_extract(bpathq, "^([^?]*)", 1)
+    // Same staged-projection discipline as [[parseUrls]] (see the comment
+    // there): h, bauth, bpath, merged, pre, rest, path1 are each consumed
+    // 2-6x downstream; as inlined Column trees the duplication compounds
+    // through merged -> pre/rest -> resolved and blew the 64 KB codegen
+    // method limit when composed in one plan. As attributes each is one
+    // codegen local, evaluated once.
+    val far = lit(1 << 20)
+    val s1 = parsed
+      // coalesce: same non-nullable-by-construction rationale as parseUrls
+      .withColumn("__ru_h",
+        coalesce(regexp_replace(href, "#.*", ""), lit(""))) // frontier never keeps fragments
+      .withColumn("__ru_bscheme", regexp_extract(col("url_norm"), "^([a-z0-9+.-]+):", 1))
+      .withColumn("__ru_bauth", regexp_extract(col("url_norm"), "^([a-z0-9+.-]+://[^/?#]*)", 1))
+      .withColumn("__ru_bpathq", regexp_extract(col("url_norm"), "^[a-z0-9+.-]+://[^/?#]*(.*)$", 1))
+    val s2 = s1.withColumn("__ru_bpath", regexp_extract(col("__ru_bpathq"), "^([^?]*)", 1))
     // base directory: path up to and including the last '/'
-    val bdir = when(bpath.contains("/"), regexp_extract(bpath, "^(.*/)", 1)).otherwise(lit("/"))
-    val isAbs = h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:")
-    val merged =
-      when(h.startsWith("//"), concat(bscheme, lit(":"), h))
-        .when(h.startsWith("/"), concat(bauth, h))
-        .when(h.startsWith("?"), concat(bauth, bpath, h))
-        .when(h === "", concat(bauth, bpathq))
-        .otherwise(concat(bauth, bdir, h))
+    val bdir = when(col("__ru_bpath").contains("/"),
+      regexp_extract(col("__ru_bpath"), "^(.*/)", 1)).otherwise(lit("/"))
+    val h = col("__ru_h")
+    val s3 = s2.withColumn("__ru_merged",
+      when(h.startsWith("//"), concat(col("__ru_bscheme"), lit(":"), h))
+        .when(h.startsWith("/"), concat(col("__ru_bauth"), h))
+        .when(h.startsWith("?"), concat(col("__ru_bauth"), col("__ru_bpath"), h))
+        .when(h === "", concat(col("__ru_bauth"), col("__ru_bpathq")))
+        .otherwise(concat(col("__ru_bauth"), bdir, h)))
+    val s4 = s3.withColumn("__ru_pre",
+      regexp_extract(col("__ru_merged"), "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
+    val s5 = s4.withColumn("__ru_rest",
+      col("__ru_merged").substr(length(col("__ru_pre")) + 1, far))
+    val s6 = s5.withColumn("__ru_path1", regexp_extract(col("__ru_rest"), "^([^?]*)", 1))
+    val s7 = s6.withColumn("__ru_query1",
+      col("__ru_rest").substr(length(col("__ru_path1")) + 1, far))
     // dot-segment removal on the path part only ('..' in a query is
     // literal data); 8 unrolled fixed-point rounds, spec edge cases per
     // round: interior '/./', trailing '/.', interior '/x/../', '..'
     // at/above root, trailing '/x/..'
-    val far = lit(1 << 20)
-    val pre = regexp_extract(merged, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
-    val rest = merged.substr(length(pre) + 1, far)
-    val path1 = regexp_extract(rest, "^([^?]*)", 1)
-    val query1 = rest.substr(length(path1) + 1, far)
-    val cleaned = (1 to 8).foldLeft(path1) { (p, _) =>
+    val cleaned = (1 to 8).foldLeft(col("__ru_path1")) { (p, _) =>
       val a = regexp_replace(p, "/\\.(/|$)", "/")          // '/./' and trailing '/.'
       val b = regexp_replace(a, "/[^/]+/\\.\\.(/|$)", "/") // '/x/../' and trailing '/x/..'
       regexp_replace(b, "^(/\\.\\.)+(/|$)", "/")           // '..' above root -> root
     }
-    val resolved = when(isAbs, h) // absolute hrefs pass through unchanged
-      .when(col("url_norm") === "", lit(""))
-      .otherwise(concat(pre, cleaned, query1))
-    parsed.withColumn(out, resolved)
+    val isAbs = h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:")
+    s7.withColumn(out,
+        when(isAbs, h) // absolute hrefs pass through unchanged
+          .when(col("url_norm") === "", lit(""))
+          .otherwise(concat(col("__ru_pre"), cleaned, col("__ru_query1"))))
+      .drop("__ru_h", "__ru_bscheme", "__ru_bauth", "__ru_bpathq",
+        "__ru_bpath", "__ru_merged", "__ru_pre", "__ru_rest",
+        "__ru_path1", "__ru_query1")
   }
 
   /** Full robots.txt rule parse (RFC 9309): like [[parseRobots]] but
