@@ -169,6 +169,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin") && l.contains("LeftAnti")), p)
   }
 
+  test("frontier chain compiles under codegen with NO interpreted fallback") {
+    // Regression pin for the 64 KB janino overflow (bench run N): the
+    // five-operator composition links -> resolve -> re-parse -> robots ->
+    // schedule must stay inside whole-stage codegen. parseUrls/resolveUrls
+    // stage multiply-referenced intermediates as attributes and emit
+    // non-nullable keys (so no inferred IsNotNull gets pushdown-inlined
+    // back into one giant predicate). fallback=false turns any codegen
+    // compile failure into a hard error instead of a silent 30x slowdown.
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = SparkEntry.queries("x_frontier_chain")(spark, sfDir).collect()
+      assert(rows.nonEmpty)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("dedup-vs-prior: every exchange carries hash keys, text never shuffles") {
     val df = SparkEntry.queries("q_dedup_vs_prior")(spark, sfDir)
     df.collect()
