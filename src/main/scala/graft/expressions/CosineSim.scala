@@ -131,5 +131,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           require(exprs.length == 1, s"${FixMojibake.name} takes exactly 1 argument")
           FixMojibake(exprs.head)
         }))
+    ext.injectFunction(
+      (FunctionIdentifier(Shingles.name),
+        new ExpressionInfo(classOf[Shingles].getName, Shingles.name),
+        { exprs: Seq[Expression] =>
+          require(exprs.length == 2, s"${Shingles.name} takes exactly 2 arguments")
+          Shingles(exprs.head, exprs(1))
+        }))
   }
 }

@@ -33,12 +33,15 @@ object TrainingOps {
   private def tokensCol(text: Column): Column =
     split(lower(text), "\\s+")
 
-  /** k-shingles (word n-grams) as an array column. */
+  /** k-shingles (word n-grams) as an array column — via the native
+    * codegen kernel (one JVM loop per row; byte-identical to the previous
+    * composed-builtin `when(size < k, [concat_ws(toks)]).otherwise(
+    * transform(sequence, i -> concat_ws(slice)))` formulation, whose
+    * interpreted higher-order lambdas dominated every gram-family query:
+    * see graft.expressions.ShingleKernel). */
   def shingles(text: Column, k: Int): Column = {
-    val toks = tokensCol(text)
-    when(size(toks) < k, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    SparkSession.getActiveSession.foreach(graft.expressions.Shingles.register)
+    call_function(graft.expressions.Shingles.name, text, lit(k))
   }
 
   /** FNV-1a 64-bit over a string (shingle base hash). */
