@@ -71,34 +71,54 @@ object GraphOps {
     * list; rank state is (node, long) — linear in nodes. */
   def pageRankFixedPoint(edges: DataFrame, iterations: Int = 3,
                          scale: Long = 1000000000000L,
-                         src: String = "src", dst: String = "dst"): DataFrame = {
+                         src: String = "src", dst: String = "dst",
+                         checkpointEvery: Int = 5): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val e = edges.select(col(src).as("s"), col(dst).as("d")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("s").as("node")).union(e.select(col("d")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
+    // ONE job validates both preconditions: n > 0 and no dangling nodes
+    // (left join against the distinct source set instead of a separate
+    // anti-join + count — the r5 shape paid two driver round trips here)
+    val chk = nodes.join(
+        e.select(col("s").as("node")).distinct().withColumn("has_out", lit(1)),
+        Seq("node"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("has_out").isNull, 1L).otherwise(0L)).as("dangling"))
+      .head()
+    val n = chk.getLong(0)
     require(n > 0, "pageRankFixedPoint needs a non-empty edge list")
-    val dangling = nodes.join(e.select(col("s").as("node")).distinct(),
-      Seq("node"), "left_anti").limit(1).count()
-    require(dangling == 0,
+    require(chk.getLong(1) == 0,
       "pageRankFixedPoint requires out-degree >= 1 everywhere (no dangling nodes)")
-    val outDeg = e.groupBy(col("s")).agg(count(lit(1)).as("od"))
+    // hoist the out-degree attach OUT of the loop: (s, d, od) is loop-
+    // invariant, so each iteration is join + aggregate + left-join instead
+    // of re-planning the e ⋈ outDeg join every round
+    val eod = e.join(e.groupBy(col("s")).agg(count(lit(1)).as("od")), Seq("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val base = (scale - scale * 85L / 100L) / n
     var ranks = nodes.withColumn("rank", lit(scale / n))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       ranks = nodes.join(
-          e.join(ranks.withColumnRenamed("node", "s"), Seq("s"))
-            .join(outDeg, Seq("s"))
+          eod.join(ranks.withColumnRenamed("node", "s"), Seq("s"))
             .groupBy(col("d").as("node"))
             .agg(sum(expr("rank div od")).as("c")),
           Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(c, CAST(0 AS BIGINT))) div 100")).as("rank"))
-        .localCheckpoint(true)
+      // rank state is consumed exactly once (by the next round), so the
+      // rounds compose LAZILY into one plan — no per-round eager
+      // materialization job. Only every `checkpointEvery` rounds does an
+      // eager localCheckpoint truncate lineage/plan depth (the deep-
+      // iteration guard at scale; a 3-iteration run never pays it).
+      if (i % checkpointEvery == 0 && i < iterations) ranks = ranks.localCheckpoint(true)
     }
+    // one terminal materialization so the caches can be released before
+    // the caller's action runs
+    val out = ranks.localCheckpoint(true)
     e.unpersist(blocking = false); nodes.unpersist(blocking = false)
-    ranks
+    eod.unpersist(blocking = false)
+    out
   }
 
   /** PageRank, fixed iteration count, damping d: rank = (1-d)/N +
