@@ -442,7 +442,7 @@ object SparkEntry {
 
   /** BM25 query panel: four queries over the synthetic corpus vocabulary,
     * shared verbatim by the Spark query and the oracle's VALUES table. */
-  private val bm25Queries: Seq[(Int, String)] = Seq(
+  private[graft] val bm25Queries: Seq[(Int, String)] = Seq(
     (1, "hash"), (1, "join"), (2, "window"), (2, "sort"), (2, "merge"),
     (3, "stream"), (3, "batch"), (4, "customer"), (4, "data"), (4, "query"))
 
