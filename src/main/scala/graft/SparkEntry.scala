@@ -1278,7 +1278,11 @@ object SparkEntry {
         val tmp = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
         val docs = t(s, d, "documents")
         SearchOps.buildTfIndex(docs).write.mode("overwrite").parquet(s"$tmp/index")
-        SearchOps.corpusStats(docs).write.mode("overwrite").parquet(s"$tmp/stats")
+        // stats derive from the persisted index (one tokenizing corpus
+        // scan total instead of two — guide §1.2); values identical by
+        // construction, so the shared oracle is untouched
+        SearchOps.corpusStatsFromIndex(s.read.parquet(s"$tmp/index"), docs)
+          .write.mode("overwrite").parquet(s"$tmp/stats")
         SearchOps.bm25TopKFromIndex(s.read.parquet(s"$tmp/index"),
           s.read.parquet(s"$tmp/stats"), bm25Queries.toDF("qid", "term"), k = 10)
       }),
@@ -1766,8 +1770,11 @@ object SparkEntry {
         val media = sp.createDataset(fs2.map(f =>
           Model.MediaRow(f.name, f.bytes, sizeBucket(f.bytes.length)))).toDF()
         val tmp = java.nio.file.Files.createTempDirectory("graft-travel").toString
-        ExtractJob.run(docsDf(fs1), media, tmp, "run1")
-        ExtractJob.run(docsDf(fs2), media, tmp, "run2")
+        // fixture-scale runs: 4 partitions (the heavy-branch salt spread
+        // and lineage agg width; outputs are partition-count invariant —
+        // production runs size this to the cluster via numPartitions)
+        ExtractJob.run(docsDf(fs1), media, tmp, "run1", numPartitions = 4)
+        ExtractJob.run(docsDf(fs2), media, tmp, "run2", numPartitions = 4)
         def view(r: String) = ExtractJob.readAsOf(tmp, r)
           .select(lit(r).as("as_of"), col("doc_id"), col("order").as("ord"),
             col("kind"), col("text"), col("media_ref"))
@@ -1788,8 +1795,9 @@ object SparkEntry {
         val media = sp.createDataset(fs2.map(f =>
           Model.MediaRow(f.name, f.bytes, sizeBucket(f.bytes.length)))).toDF()
         val tmp = java.nio.file.Files.createTempDirectory("graft-resume").toString
-        ExtractJob.run(docsDf(fs1), media, tmp, "run1")
-        val committed = ExtractJob.run(docsDf(fs2), media, tmp, "run2")
+        // fixture-scale runs: 4 partitions (see x_time_travel note)
+        ExtractJob.run(docsDf(fs1), media, tmp, "run1", numPartitions = 4)
+        val committed = ExtractJob.run(docsDf(fs2), media, tmp, "run2", numPartitions = 4)
         val spans = committed.select(col("doc_id"), col("order").as("ord"),
           col("kind"), col("text"), col("media_ref"))
         val metrics = sp.read.parquet(s"$tmp/metrics/run=run1", s"$tmp/metrics/run=run2")

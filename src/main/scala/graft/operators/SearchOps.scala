@@ -45,6 +45,21 @@ object SearchOps {
   def corpusStats(docs: DataFrame): DataFrame =
     withTokens(docs).agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
 
+  /** [[corpusStats]] derived from an already-built [[buildTfIndex]] frame
+    * instead of a second full corpus tokenization (guide §1.2: don't
+    * compute the same pass twice). Identical values by construction:
+    * n_docs counts ALL docs from a narrow count-only corpus scan (no
+    * tokenization — parquet answers it from row-group metadata), and Σdl
+    * over the index's distinct (doc_id, dl) pairs equals Σdl over docs
+    * because exactly the dl = 0 docs are absent from the index and
+    * contribute nothing to the sum (coalesce covers the all-empty
+    * corpus). At 100 TB this replaces the second tokenizing corpus scan
+    * with an index-sized aggregation. */
+  def corpusStatsFromIndex(index: DataFrame, docs: DataFrame): DataFrame =
+    docs.select(lit(1).as("one")).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(index.select(col("doc_id"), col("dl")).distinct()
+        .agg(coalesce(sum(col("dl")), lit(0L)).as("sum_dl")))
+
   /** Full positional-free tf index: (doc_id, dl, term, tf) for EVERY
     * term — query-independent, so it is built once per corpus snapshot
     * and serves any query panel. One scan + one (doc, term) partial
