@@ -143,9 +143,12 @@ object ExtractJob {
     * `asOfRun`'s atomic manifest swap landed — the manifest prefix up to
     * and including that run. Works because committed runs are immutable
     * (resume anti-joins on the manifest, never rewrites) — every
-    * historical snapshot stays reconstructible until [[vacuumRuns]]
-    * expires it. The read is partition-pruned to the visible run dirs;
-    * no filter scans later data. */
+    * historical snapshot stays reconstructible indefinitely: committed
+    * runs are never expired ([[vacuumRuns]] only reclaims UNcommitted
+    * crash debris), so retention cost grows with run count until an
+    * explicit snapshot-expiry policy is layered on top. The read is
+    * partition-pruned to the visible run dirs; no filter scans later
+    * data. */
   def readAsOf(outDir: String, asOfRun: String)(implicit spark: SparkSession): DataFrame = {
     val runs = committedSnapshots(outDir)
     val idx = runs.indexOf(asOfRun)
@@ -202,10 +205,15 @@ object ExtractJob {
       .withColumn("input_snapshot", lit(outDir))
     lineage.write.mode(SaveMode.Overwrite).parquet(s"$outDir/lineage/run=$runId")
 
-    val metrics = extracted.agg(
-      count(lit(1)).as("media_total"),
-      sum(when(col("ok"), 1L).otherwise(0L)).as("media_ok"),
-      sum(col("bytes_in")).as("bytes_total"))
+    // run metrics fold up from the just-written per-partition lineage
+    // (guide §1.2: don't pay a second pass over the persisted extraction —
+    // sums of per-partition sums are the same exact integers; the empty-run
+    // coalesce keeps media_total = 0 with null sums, matching the direct
+    // aggregate's shape on zero media rows)
+    val metrics = spark.read.parquet(s"$outDir/lineage/run=$runId")
+      .agg(coalesce(sum(col("media_in")), lit(0L)).as("media_total"),
+        sum(col("media_ok")).as("media_ok"),
+        sum(col("bytes_in")).as("bytes_total"))
       .withColumn("run_id", lit(runId))
     metrics.write.mode(SaveMode.Overwrite).parquet(s"$outDir/metrics/run=$runId")
 

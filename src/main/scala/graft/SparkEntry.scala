@@ -72,11 +72,39 @@ object SparkEntry {
     * state-store setup/commit IO for zero parallelism benefit (results are
     * partition-count invariant — the sbt specs run the same helpers at
     * other widths). Production streams size this to their key cardinality;
-    * the session default is restored even on failure. */
+    * the session default is restored even on failure.
+    *
+    * The same fixture-scale reasoning puts `.coalesce(1)` on every tiny
+    * stream-input write below: a 3-30-row wave written at the session's
+    * 32-way default parallelism pays 32 task commits and leaves a
+    * many-file directory for the file source to list per trigger, for
+    * zero parallelism benefit (production ingest writes are sized by
+    * data volume, not by this fixture constant). */
   private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Deferred per-query resource reclamation: queries that materialize
+    * nonce-named catalog tables / temp views / temp dirs (bucketed joins,
+    * persisted indexes, streaming sinks) cannot clean them up before
+    * returning — the caller consumes the returned frame AFTER the query
+    * function exits. Instead each invocation registers a cleanup closure
+    * that the NEXT invocation of the same query runs first, so repeated
+    * bench/oracle invocations hold at most one generation of tables and
+    * disk per query instead of accumulating without bound. */
+  private val pendingCleanup =
+    new java.util.concurrent.ConcurrentHashMap[String, () => Unit]()
+  private def recycle(key: String)(cleanup: () => Unit): Unit = {
+    val prev = pendingCleanup.put(key, cleanup)
+    if (prev != null) try prev() catch { case _: Throwable => () }
+  }
+  private def deleteDir(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete(); ()
+    }
+    rec(new java.io.File(path))
   }
 
   // ---------- extraction queries (kernel operator families) ----------
@@ -871,7 +899,9 @@ object SparkEntry {
       // MapPartitions); same signatures, so the ground-truth pair oracle
       // is unchanged
       "q_minhash_lsh_persisted" -> ((s: SparkSession, d: String) => {
-        val sdir = java.nio.file.Files.createTempDirectory("graft-sig").toString + "/minhash"
+        val sroot = java.nio.file.Files.createTempDirectory("graft-sig").toString
+        recycle("graft-sig")(() => deleteDir(sroot))
+        val sdir = sroot + "/minhash"
         TrainingOps.saveMinhashSignatures(t(s, d, "documents"), sdir)
         TrainingOps.minhashLshPairsFromSig(TrainingOps.loadMinhashSignatures(s, sdir))
           .where(col("est_jaccard") >= 0.5).select(col("doc_a"), col("doc_b"))
@@ -925,7 +955,9 @@ object SparkEntry {
       // train-once shape; same centroids, so the oracle is unchanged
       "q_knn_ivf" -> ((s: SparkSession, d: String) => {
         val e = t(s, d, "embeddings")
-        val cdir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/centroids"
+        val croot = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+        recycle("graft-ivf")(() => deleteDir(croot))
+        val cdir = croot + "/centroids"
         TrainingOps.saveCentroids(s, TrainingOps.ivfCentroids(e), cdir)
         TrainingOps.knnIvf(e, e.orderBy(col("vec_id")).limit(5), dim = 64, k = 10,
           centroids0 = TrainingOps.loadCentroids(s, cdir))
@@ -1205,13 +1237,25 @@ object SparkEntry {
       // ...point-queried for the exact top-10 terms: CMS estimate beside
       // the true count (est >= true always; equal when no bucket collision)
       "q_cms_heavy" -> ((s: SparkSession, d: String) => {
-        val words = t(s, d, "documents")
+        // ONE tokenizing corpus pass (guide §1.2): the exact word-count
+        // aggregate feeds the sketch (cmsSketchFromCounts — counters
+        // identical by construction), the top-10 probes, AND the carried
+        // true_count — the r5 shape paid three tokenize+aggregate scans
+        // (sketch, probes, true-count join) for the same numbers. The two
+        // word-count consumers share one Exchange (AQE stage reuse).
+        val wc = t(s, d, "documents")
           .select(explode(split(lower(col("text")), "\\s+")).as("w"))
           .where(col("w") =!= "")
-        val probes = TrainingOps.vocabTopK(t(s, d, "documents"), k = 10)
-        SketchOps.cmsEstimate(SketchOps.cmsSketch(words, col("w")),
-            probes, col("term"))
-          .join(probes.select(col("term").as("item"), col("n").as("true_count")), Seq("item"))
+          .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        val probes = wc.orderBy(col("n").desc, col("w")).limit(10)
+          .select(col("w").as("item"), col("n"))
+        val sketch = SketchOps.cmsSketchFromCounts(wc, col("w"), col("n"))
+        probes.select(col("item"), col("n"),
+            explode(sequence(lit(0), lit(3))).as("d"))
+          .withColumn("bucket", SketchOps.cmsBucket(col("d"), col("item"), 256))
+          .join(broadcast(sketch), Seq("d", "bucket"))
+          .groupBy(col("item"))
+          .agg(min(col("cnt")).as("cms_count"), max(col("n")).as("true_count"))
       }),
       // integer-exact quantile brackets read off the mergeable log2
       // histogram — the cross-engine-reproducible percentile answer
@@ -1250,6 +1294,10 @@ object SparkEntry {
         val nonce = java.lang.Long.toHexString(System.nanoTime())
         val to = s"bkt_orders_$nonce"
         val tc = s"bkt_cust_$nonce"
+        recycle("graft-bucket") { () =>
+          s.sql(s"DROP TABLE IF EXISTS $to"); s.sql(s"DROP TABLE IF EXISTS $tc")
+          deleteDir(tmp)
+        }
         LayoutOps.saveBucketed(t(s, d, "orders")
             .select(col("o_custkey"), cents(col("o_totalprice")).as("price_cents")),
           s"$tmp/o", to, "o_custkey", numBuckets = 8)
@@ -1276,6 +1324,7 @@ object SparkEntry {
       "q_bm25_indexed" -> ((s: SparkSession, d: String) => {
         import s.implicits._
         val tmp = java.nio.file.Files.createTempDirectory("graft-bm25idx").toString
+        recycle("graft-bm25idx")(() => deleteDir(tmp))
         val docs = t(s, d, "documents")
         SearchOps.buildTfIndex(docs).write.mode("overwrite").parquet(s"$tmp/index")
         // stats derive from the persisted index (one tokenizing corpus
@@ -1585,9 +1634,10 @@ object SparkEntry {
       "x_stream_window" -> ((s: SparkSession, _: String) => withShufflePartitions(s, 4) {
         import s.implicits._
         val tmp = java.nio.file.Files.createTempDirectory("graft-swin").toString
-        s.createDataset(streamDocs).toDF().write.parquet(s"$tmp/in")
+        s.createDataset(streamDocs).toDF().coalesce(1).write.parquet(s"$tmp/in")
         val schema = org.apache.spark.sql.Encoders.product[graft.streaming.StreamingOps.TimedDoc].schema
         val sink = "x_stream_window_" + java.lang.Long.toHexString(System.nanoTime())
+        recycle("graft-swin") { () => s.catalog.dropTempView(sink); deleteDir(tmp) }
         val q = graft.streaming.StreamingOps.windowedDocMetrics(
           s.readStream.schema(schema).parquet(s"$tmp/in"))
           .writeStream.format("memory").queryName(sink)
@@ -1603,9 +1653,10 @@ object SparkEntry {
       "x_stream_cms" -> ((s: SparkSession, _: String) => withShufflePartitions(s, 4) {
         import s.implicits._
         val tmp = java.nio.file.Files.createTempDirectory("graft-scms").toString
-        s.createDataset(streamDocs).toDF().write.parquet(s"$tmp/in")
+        s.createDataset(streamDocs).toDF().coalesce(1).write.parquet(s"$tmp/in")
         val schema = org.apache.spark.sql.Encoders.product[graft.streaming.StreamingOps.TimedDoc].schema
         val sink = "x_stream_cms_" + java.lang.Long.toHexString(System.nanoTime())
+        recycle("graft-scms") { () => s.catalog.dropTempView(sink); deleteDir(tmp) }
         val q = graft.streaming.StreamingOps.windowedCms(
           s.readStream.schema(schema).parquet(s"$tmp/in"))
           .writeStream.format("memory").queryName(sink)
@@ -1624,11 +1675,12 @@ object SparkEntry {
       "x_stream_join" -> ((s: SparkSession, _: String) => withShufflePartitions(s, 4) {
         import s.implicits._
         val tmp = java.nio.file.Files.createTempDirectory("graft-sjoin").toString
-        s.createDataset(streamDocs).toDF().write.parquet(s"$tmp/docs")
-        s.createDataset(streamLabels).toDF().write.parquet(s"$tmp/labels")
+        s.createDataset(streamDocs).toDF().coalesce(1).write.parquet(s"$tmp/docs")
+        s.createDataset(streamLabels).toDF().coalesce(1).write.parquet(s"$tmp/labels")
         val docSchema = org.apache.spark.sql.Encoders.product[graft.streaming.StreamingOps.TimedDoc].schema
         val labelSchema = org.apache.spark.sql.Encoders.product[graft.streaming.StreamingOps.DocLabel].schema
         val sink = "x_stream_join_" + java.lang.Long.toHexString(System.nanoTime())
+        recycle("graft-sjoin") { () => s.catalog.dropTempView(sink); deleteDir(tmp) }
         val q = graft.streaming.StreamingOps.joinLabels(
             s.readStream.schema(docSchema).parquet(s"$tmp/docs"),
             s.readStream.schema(labelSchema).parquet(s"$tmp/labels"))
@@ -1643,12 +1695,13 @@ object SparkEntry {
       "x_stream_dedup" -> ((s: SparkSession, _: String) => withShufflePartitions(s, 4) {
         import s.implicits._
         val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+        recycle("graft-sdedup")(() => deleteDir(tmp))
         // two checkpointed runs = two (or more) micro-batches: proves state
         // survives restart AND the first-seen-wins contract (wave 2 carries
         // a smaller-id duplicate that must stay suppressed)
-        s.createDataset(streamDocs).toDF().write.mode("append").parquet(s"$tmp/in")
+        s.createDataset(streamDocs).toDF().coalesce(1).write.mode("append").parquet(s"$tmp/in")
         graft.streaming.StreamingOps.runDedupStream(s, s"$tmp/in", s"$tmp/out")
-        s.createDataset(streamDedupWave2).toDF().write.mode("append").parquet(s"$tmp/in")
+        s.createDataset(streamDedupWave2).toDF().coalesce(1).write.mode("append").parquet(s"$tmp/in")
         graft.streaming.StreamingOps.runDedupStream(s, s"$tmp/in", s"$tmp/out")
         s.read.parquet(s"$tmp/out/deduped").select(col("doc_id"), col("text"))
       }),
@@ -1658,9 +1711,10 @@ object SparkEntry {
       "x_stream_neardedup" -> ((s: SparkSession, _: String) => withShufflePartitions(s, 4) {
         import s.implicits._
         val tmp = java.nio.file.Files.createTempDirectory("graft-sneardedup").toString
-        s.createDataset(nearStreamWave1).toDF().write.mode("append").parquet(s"$tmp/in")
+        recycle("graft-sneardedup")(() => deleteDir(tmp))
+        s.createDataset(nearStreamWave1).toDF().coalesce(1).write.mode("append").parquet(s"$tmp/in")
         graft.streaming.StreamingOps.runDedupStream(s, s"$tmp/in", s"$tmp/out", near = true)
-        s.createDataset(nearStreamWave2).toDF().write.mode("append").parquet(s"$tmp/in")
+        s.createDataset(nearStreamWave2).toDF().coalesce(1).write.mode("append").parquet(s"$tmp/in")
         graft.streaming.StreamingOps.runDedupStream(s, s"$tmp/in", s"$tmp/out", near = true)
         s.read.parquet(s"$tmp/out/deduped").select(col("doc_id"), col("text"))
       }),
@@ -1671,6 +1725,7 @@ object SparkEntry {
       "x_stream_boilerplate" -> ((s: SparkSession, _: String) => withShufflePartitions(s, 4) {
         import s.implicits._
         val tmp = java.nio.file.Files.createTempDirectory("graft-sboiler").toString
+        recycle("graft-sboiler")(() => deleteDir(tmp))
         val prior = Seq((1L, "x\nFOOTER LINE"), (2L, "FOOTER LINE\ny"))
           .toDF("doc_id", "text")
         val hashes = TrainingOps.boilerplateLineHashes(prior).as[Long].collect()
@@ -1681,9 +1736,9 @@ object SparkEntry {
           TimedDoc(12, "FOOTER LINE", "web", ts(1)),
           TimedDoc(13, "clean only", "books", ts(2)))
         val wave2 = Seq(TimedDoc(14, "also keep\nFOOTER LINE", "cc", ts(3)))
-        s.createDataset(wave1).toDF().write.mode("append").parquet(s"$tmp/in")
+        s.createDataset(wave1).toDF().coalesce(1).write.mode("append").parquet(s"$tmp/in")
         graft.streaming.StreamingOps.runScrubBoilerplateStream(s, s"$tmp/in", hashes, s"$tmp/out")
-        s.createDataset(wave2).toDF().write.mode("append").parquet(s"$tmp/in")
+        s.createDataset(wave2).toDF().coalesce(1).write.mode("append").parquet(s"$tmp/in")
         graft.streaming.StreamingOps.runScrubBoilerplateStream(s, s"$tmp/in", hashes, s"$tmp/out")
         s.read.parquet(s"$tmp/out/scrubbed").select(col("doc_id"), col("clean_text"))
       }),
@@ -1694,6 +1749,7 @@ object SparkEntry {
       "x_stream_repair" -> ((s: SparkSession, _: String) => withShufflePartitions(s, 4) {
         import s.implicits._
         val tmp = java.nio.file.Files.createTempDirectory("graft-srepair").toString
+        recycle("graft-srepair")(() => deleteDir(tmp))
         def ts(m: Int) = new java.sql.Timestamp(1767225600000L + m * 60000L)
         import graft.streaming.StreamingOps.TimedDoc
         val wave1 = Seq(
@@ -1701,9 +1757,9 @@ object SparkEntry {
           TimedDoc(22, "cafe\u0301", "web", ts(1)),          // decomposed
           TimedDoc(23, "plain", "books", ts(2)))
         val wave2 = Seq(TimedDoc(24, "don\u00e2\u20ac\u2122t", "cc", ts(3)))
-        s.createDataset(wave1).toDF().write.mode("append").parquet(s"$tmp/in")
+        s.createDataset(wave1).toDF().coalesce(1).write.mode("append").parquet(s"$tmp/in")
         graft.streaming.StreamingOps.runRepairTextStream(s, s"$tmp/in", s"$tmp/out")
-        s.createDataset(wave2).toDF().write.mode("append").parquet(s"$tmp/in")
+        s.createDataset(wave2).toDF().coalesce(1).write.mode("append").parquet(s"$tmp/in")
         graft.streaming.StreamingOps.runRepairTextStream(s, s"$tmp/in", s"$tmp/out")
         s.read.parquet(s"$tmp/out/repaired").select(col("doc_id"), col("clean_text"))
       }),
@@ -1713,12 +1769,13 @@ object SparkEntry {
       "x_stream_decontaminate" -> ((s: SparkSession, _: String) => withShufflePartitions(s, 4) {
         import s.implicits._
         val tmp = java.nio.file.Files.createTempDirectory("graft-sdecon").toString
+        recycle("graft-sdecon")(() => deleteDir(tmp))
         val evalDocs = s.createDataset(decontamEvalTexts.zipWithIndex.map {
           case (t, i) => (9000L + i, t)
         }).toDF("doc_id", "text")
-        s.createDataset(decontamWave1).toDF().write.mode("append").parquet(s"$tmp/in")
+        s.createDataset(decontamWave1).toDF().coalesce(1).write.mode("append").parquet(s"$tmp/in")
         graft.streaming.StreamingOps.runDecontaminateStream(s, s"$tmp/in", evalDocs, s"$tmp/out")
-        s.createDataset(decontamWave2).toDF().write.mode("append").parquet(s"$tmp/in")
+        s.createDataset(decontamWave2).toDF().coalesce(1).write.mode("append").parquet(s"$tmp/in")
         graft.streaming.StreamingOps.runDecontaminateStream(s, s"$tmp/in", evalDocs, s"$tmp/out")
         s.read.parquet(s"$tmp/out/clean").select(col("doc_id"), col("text"))
       }),
@@ -1729,9 +1786,10 @@ object SparkEntry {
         import sp.implicits._
         val fs = fx(streamFixtures: _*)
         val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+        recycle("graft-stream")(() => deleteDir(tmp))
         val docs = sp.createDataset(fs.map(f =>
           Model.DocRow(f.name, Seq(Model.InSpan("pdf", "", f.name, 0))))).toDF()
-        docs.write.parquet(s"$tmp/docs")
+        docs.coalesce(1).write.parquet(s"$tmp/docs")
         val media = sp.createDataset(fs.map(f =>
           Model.MediaRow(f.name, f.bytes, sizeBucket(f.bytes.length)))).toDF()
         graft.streaming.StreamingExtract.start(sp, s"$tmp/docs", media, s"$tmp/out", docs.schema)
@@ -1745,9 +1803,10 @@ object SparkEntry {
         implicit val sp: SparkSession = s
         import sp.implicits._
         val tmp = java.nio.file.Files.createTempDirectory("graft-swarc").toString
+        recycle("graft-swarc")(() => deleteDir(tmp))
         def wave(files: Seq[(String, Array[Byte])]): Unit = {
           val df = sp.createDataset(files).toDF("warc_ref", "bytes")
-          df.write.mode("append").parquet(s"$tmp/in")
+          df.coalesce(1).write.mode("append").parquet(s"$tmp/in")
           graft.streaming.StreamingExtract
             .startWarc(sp, s"$tmp/in", s"$tmp/out", df.schema)
             .awaitTermination()
@@ -1770,6 +1829,7 @@ object SparkEntry {
         val media = sp.createDataset(fs2.map(f =>
           Model.MediaRow(f.name, f.bytes, sizeBucket(f.bytes.length)))).toDF()
         val tmp = java.nio.file.Files.createTempDirectory("graft-travel").toString
+        recycle("graft-travel")(() => deleteDir(tmp))
         // fixture-scale runs: 4 partitions (the heavy-branch salt spread
         // and lineage agg width; outputs are partition-count invariant —
         // production runs size this to the cluster via numPartitions)
@@ -1795,6 +1855,7 @@ object SparkEntry {
         val media = sp.createDataset(fs2.map(f =>
           Model.MediaRow(f.name, f.bytes, sizeBucket(f.bytes.length)))).toDF()
         val tmp = java.nio.file.Files.createTempDirectory("graft-resume").toString
+        recycle("graft-resume")(() => deleteDir(tmp))
         // fixture-scale runs: 4 partitions (see x_time_travel note)
         ExtractJob.run(docsDf(fs1), media, tmp, "run1", numPartitions = 4)
         val committed = ExtractJob.run(docsDf(fs2), media, tmp, "run2", numPartitions = 4)
@@ -2084,8 +2145,6 @@ object SparkEntry {
   /** run-1 commits all but the last; run-2 adds the last. */
   private val resumeFixtures = Seq("f01_minimal_flate", "f03_filters", "f09_rotate")
 
-  /** By-construction oracle for x_resume: one span row per doc plus the
-    * per-run metrics rows (run1 extracted 2 media, run2 only the 1 new). */
   /** Oracle for x_time_travel, derived from the fixture expectations:
     * AS OF run1 sees only run1's docs; AS OF run2 sees all. */
   private def timeTravelOracle: String = {
@@ -2097,6 +2156,8 @@ object SparkEntry {
     s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(as_of, doc_id, ord, kind, text, media_ref)"
   }
 
+  /** By-construction oracle for x_resume: one span row per doc plus the
+    * per-run metrics rows (run1 extracted 2 media, run2 only the 1 new). */
   private def resumeOracle: String = {
     val fs2 = fx(resumeFixtures: _*)
     val rows = fs2.map(f =>

@@ -54,6 +54,22 @@ object VectorKernel {
     new GenericArrayData(out)
   }
 
+  /** Integer dot product of two int arrays as one JVM loop — the
+    * replacement for the interpreted `aggregate(zip_with(a, b,
+    * _.toLong * _), 0L, _ + _)` fold in the int8 kNN sweep. Exact 64-bit
+    * integer arithmetic (|dot| ≤ dim·127² for int8 inputs), so the value
+    * is identical to the composed fold under ANY summation order. */
+  def intDot(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getInt(i).toLong * b.getInt(i)
+      i += 1
+    }
+    acc
+  }
+
   /** Sign-LSH bucket: bit b set iff dot(emb, plane_b) > 0, plane_b =
     * flat[b*dim .. b*dim+dim-1]. Same left-fold dot as the composed
     * `aggregate(zip_with(a, b, _*_), 0.0, _+_)`. */
@@ -155,6 +171,51 @@ case class LshBucket(first: Expression, second: Expression, third: Expression)
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): LshBucket =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `graft_int_dot(a, b)` — exact integer dot of two array<int> columns
+  * (both sides row data, unlike the literal-table kernels above). See
+  * [[VectorKernel.intDot]]. */
+case class IntDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_int_dot"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs (array<int>, array<int>)")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernel.intDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.VectorKernel.intDot($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntDot {
+  val name = "graft_int_dot"
+  private val info = new ExpressionInfo(classOf[IntDot].getName, name)
+  private val builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"$name takes exactly 2 arguments")
+    IntDot(exprs(0), exprs(1))
+  }
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(name), info, builder)
 }
 
 object ArgminCodes {

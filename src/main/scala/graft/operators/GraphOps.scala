@@ -78,11 +78,19 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("s").as("node")).union(e.select(col("d")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // the out-degree table is needed anyway (every round divides by od),
+    // so the precondition probe is keyed on IT instead of a throwaway
+    // distinct-source aggregate: one exchange over the edge list serves
+    // both the validation and the loop (guide §2.4 — two operations keyed
+    // the same way share one aggregation)
+    val outDeg = e.groupBy(col("s")).agg(count(lit(1)).as("od"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // ONE job validates both preconditions: n > 0 and no dangling nodes
-    // (left join against the distinct source set instead of a separate
-    // anti-join + count — the r5 shape paid two driver round trips here)
+    // (left join against the out-degree keys instead of a separate
+    // anti-join + count — the r5 shape paid two driver round trips here);
+    // the same job materializes the e/nodes/outDeg caches for the loop
     val chk = nodes.join(
-        e.select(col("s").as("node")).distinct().withColumn("has_out", lit(1)),
+        outDeg.select(col("s").as("node")).withColumn("has_out", lit(1)),
         Seq("node"), "left")
       .agg(count(lit(1)).as("n"),
         sum(when(col("has_out").isNull, 1L).otherwise(0L)).as("dangling"))
@@ -94,7 +102,7 @@ object GraphOps {
     // hoist the out-degree attach OUT of the loop: (s, d, od) is loop-
     // invariant, so each iteration is join + aggregate + left-join instead
     // of re-planning the e ⋈ outDeg join every round
-    val eod = e.join(e.groupBy(col("s")).agg(count(lit(1)).as("od")), Seq("s"))
+    val eod = e.join(outDeg, Seq("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = (scale - scale * 85L / 100L) / n
     var ranks = nodes.withColumn("rank", lit(scale / n))
@@ -117,7 +125,7 @@ object GraphOps {
     // the caller's action runs
     val out = ranks.localCheckpoint(true)
     e.unpersist(blocking = false); nodes.unpersist(blocking = false)
-    eod.unpersist(blocking = false)
+    eod.unpersist(blocking = false); outDeg.unpersist(blocking = false)
     out
   }
 

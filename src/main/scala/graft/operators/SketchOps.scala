@@ -193,6 +193,25 @@ object SketchOps {
       .groupBy(col("d"), col("bucket")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[cmsSketch]] over PRE-AGGREGATED (item, n) counts instead of raw
+    * occurrences: each distinct item contributes its full count to its
+    * (d, bucket) cells in one row, so cnt(d, bucket) = Σ n over the items
+    * hashing there — exactly the counters [[cmsSketch]] produces from the
+    * raw rows (guide §1.2: when a consumer has already paid the exact
+    * per-item aggregation, deriving the sketch from it costs an
+    * items-sized pass instead of a second occurrences-sized pass). Only
+    * worth it when the count table exists anyway — from raw data the
+    * occurrence formulation's map-side-to-sketch-size partial aggregation
+    * is the scale shape. */
+  def cmsSketchFromCounts(counts: DataFrame, item: Column, n: Column,
+                          depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2, "need depth >= 1, width >= 2")
+    counts.select(item.as("__w"), n.as("__n"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .select(col("d"), cmsBucket(col("d"), col("__w"), width).as("bucket"), col("__n"))
+      .groupBy(col("d"), col("bucket")).agg(sum(col("__n")).as("cnt"))
+  }
+
   /** Point-query the sketch for each probe item: the CMS estimate is the
     * MIN over the depth rows' counters (never under the true count; over
     * by at most 2n/width with prob 1-2^-depth). Probes are a small frame;

@@ -361,12 +361,20 @@ object TrainingOps {
     * are not; `scale = maxabs/127` dequantizes. Zero vectors quantize to
     * zeros with scale 0. One narrow pass, no shuffle. */
   def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    // staged projections (the frontier-chain/ANN playbook): maxabs as an
+    // attribute is computed ONCE per row — inlined into the per-element
+    // lambda it would re-run the O(dim) array_max fold per element
+    // (O(dim²)/row, interpreted). Values are bitwise unchanged.
     val d = transform(col("embedding"), x => x.cast("double"))
-    val maxabs = array_max(transform(d, x => abs(x)))
-    embeddings.select(col("vec_id"),
-      when(maxabs === 0d, transform(d, _ => lit(0)))
-        .otherwise(transform(d, x => (x * 127.0d / maxabs).cast("int"))).as("qvec"),
-      (maxabs / 127.0d).as("scale"))
+    embeddings
+      .select(col("vec_id"), d.as("__demb"))
+      .select(col("vec_id"), col("__demb"),
+        array_max(transform(col("__demb"), x => abs(x))).as("__maxabs"))
+      .select(col("vec_id"),
+        when(col("__maxabs") === 0d, transform(col("__demb"), _ => lit(0)))
+          .otherwise(transform(col("__demb"),
+            x => (x * 127.0d / col("__maxabs")).cast("int"))).as("qvec"),
+        (col("__maxabs") / 127.0d).as("scale"))
   }
 
   /** Brute-force kNN over int8-quantized vectors — the memory-bound ANN
@@ -378,21 +386,22 @@ object TrainingOps {
     * to the float cosine it approximates. Zero vectors score -1
     * (cosine undefined; ranked last). Queries broadcast; the
     * `rank <= k` filter on the row_number gives WindowGroupLimit top-k
-    * on both sides of the exchange. The dot runs as a composed
-    * zip_with/aggregate pair — the [[knnBrute]]-style native-expression
-    * upgrade (one fused loop, see [[graft.expressions.CosineSim]]) is
-    * the drop-in path if the quantized sweep ever dominates a profile. */
+    * on both sides of the exchange. The dots run through the native
+    * `graft_int_dot` kernel (one fused JVM loop per pair, codegen'd —
+    * the r5 doc flagged the composed zip_with/aggregate fold as the
+    * drop-in upgrade once the quantized sweep showed in a profile, and
+    * it did: the per-(row, query) interpreted fold was the query's hot
+    * loop). Exact integer sums are order-independent, so the scores are
+    * bitwise unchanged. */
   def knnInt8(embeddings: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
-    def selfDot(v: Column): Column = aggregate(
-      transform(v, x => x.cast("long") * x), lit(0L), (acc, x) => acc + x)
+    SparkSession.getActiveSession.foreach(graft.expressions.IntDot.register)
+    def selfDot(v: Column): Column = call_function(graft.expressions.IntDot.name, v, v)
     val base = quantizeInt8(embeddings)
       .select(col("vec_id"), col("qvec"), selfDot(col("qvec")).as("self_q"))
     val q = broadcast(quantizeInt8(queries)
       .select(col("vec_id").as("query_id"), col("qvec").as("q_qvec"),
         selfDot(col("qvec")).as("q_self")))
-    val dotInt = aggregate(
-      zip_with(col("qvec"), col("q_qvec"), (a, b) => a.cast("long") * b),
-      lit(0L), (acc, v) => acc + v)
+    val dotInt = call_function(graft.expressions.IntDot.name, col("qvec"), col("q_qvec"))
     // symmetric scaling cancels out of the cosine exactly:
     // cos(dequant) = dot_q / sqrt(self_a * self_q) — pure integers under
     // one sqrt and one divide, so the score is bitwise cross-engine
@@ -734,28 +743,42 @@ object TrainingOps {
     import org.apache.spark.storage.StorageLevel
     val sc = pairs.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
-    def snapshot(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true) else df.localCheckpoint(true)
     // materialize the edge list once — every iteration joins against it,
     // and without the persist each round would re-run the whole upstream
-    // candidate pipeline; labels persist per round and truncate lineage
+    // candidate pipeline
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // eager checkpoints per round: lineage stays constant-depth, so
-    // each round re-analyzes/compiles the same tiny plan instead of an
-    // ever-growing one
-    var labels = snapshot(edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")))
+    // ONE Spark job per round (the r5 shape paid three: an eager hop
+    // checkpoint, an eager next checkpoint, and a join-shaped convergence
+    // probe). The round's single action is the changed-count aggregate,
+    // which materializes hop's cache and next's LAZY localCheckpoint on
+    // the way and reads the change flag computed INSIDE the round plan
+    // (next vs the incoming labels — no extra join: hop still sees the
+    // previous round's label attribute). Plan truncation per round is NOT
+    // optional: next = selfjoin(hop(labels)) references `labels` three
+    // times, so without it the logical plan grows ~4× per round and
+    // Catalyst analysis dominates (measured 3-4× WORSE than the r5 shape
+    // in an interleaved A/B before this lazy-truncate). localCheckpoint
+    // (eager = false) truncates the plan immediately but defers
+    // materialization to the round's one action; with `checkpointDir` set
+    // the round keeps the r5 eager RELIABLE checkpoint (the extra job is
+    // the fault-tolerance price, unchanged).
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val neighborMin = edges.join(labels, edges("b") === labels("id"))
         .groupBy(col("a")).agg(min(col("label")).as("nlabel"))
-      // eager checkpoint: the self-join below reads hop twice
-      val hop = snapshot(labels.join(neighborMin, labels("id") === neighborMin("a"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
+      // lazy persist: the pointer-doubling self-join below reads hop twice
+      val hop = labels.join(neighborMin, labels("id") === neighborMin("a"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // pointer doubling (path compression): label ← label(label). A node's
       // label is always a member of its own component with id ≤ its own, so
       // compressing through it preserves the invariant while halving the
@@ -763,22 +786,27 @@ object TrainingOps {
       // O(diameter), the property that saves a pathological duplicate
       // chain at corpus scale. Cost: one extra self-join per round on the
       // (id,label) table, one narrow row per node.
-      val next = snapshot(hop.as("x")
+      val doubled = hop.as("x")
         .join(hop.select(col("id").as("lid"), col("label").as("llabel")).as("y"),
           col("x.label") === col("y.lid"), "left")
         .select(col("x.id").as("id"),
-          least(col("x.label"), coalesce(col("llabel"), col("x.label"))).as("label")))
-      // round 1 always changes something when edges exist (the larger
-      // endpoint of any edge adopts the smaller label) — skip its check
-      val changed =
-        if (iter == 0) 1L
-        else next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-          .where(col("label") =!= col("old")).limit(1).count()
-      labels = next
+          least(col("x.label"), coalesce(col("llabel"), col("x.label"))).as("label"),
+          (least(col("x.label"), coalesce(col("llabel"), col("x.label"))) =!=
+            col("x.old")).as("chg"))
+      val next =
+        if (checkpointDir.isDefined) doubled.checkpoint(eager = true)
+        else doubled.localCheckpoint(eager = false)
+      // the round's one action: materializes hop + next and answers the
+      // convergence question from the in-plan flag
+      val changed = next.agg(coalesce(sum(when(col("chg"), 1L).otherwise(0L)), lit(0L)))
+        .head().getLong(0)
+      retired += labels; retired += hop
+      labels = next.drop("chg")
       converged = changed == 0
       iter += 1
     }
     edges.unpersist(blocking = false)
+    retired.foreach(_.unpersist(blocking = false))
     // with pointer doubling, rounds ≈ log2(component diameter); hitting the
     // cap still means some immense duplicate chain is split into multiple
     // cluster ids — silently returning those would LOOK valid, so warn
@@ -814,6 +842,10 @@ object TrainingOps {
                   salt: String = "split42"): DataFrame = {
     require(bounds.nonEmpty && bounds.map(_._1) == bounds.map(_._1).sorted,
       "bounds must be ascending hex thresholds")
+    // the comparison below is LEXICOGRAPHIC against lowercase md5 hex — an
+    // uppercase or wrong-length bound would silently mis-assign splits
+    require(bounds.forall(_._1.matches("[0-9a-f]{8}")),
+      "each bound must be exactly 8 lowercase hex digits")
     val h = substring(md5(concat(col(keyCol).cast("string"), lit(":" + salt)).cast("binary")), 1, 8)
     val split = bounds.foldRight(lit(lastName)) { case ((hex, name), acc) =>
       when(h < lit(hex), lit(name)).otherwise(acc)
@@ -1124,12 +1156,17 @@ object TrainingOps {
       else {
         val pair = top(0).getString(0)
         merges += ((rank, pair, top(0).getLong(1)))
-        val next = words.select(
-          replace(col("syms"), lit(" " + pair + " "), lit(" " + pair.replace(" ", "") + " ")).as("syms"),
-          col("freq")).persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before dropping the previous round
-        words.unpersist(blocking = false)
-        words = next
+        if (rank < numMerges) {
+          // the rewritten vocabulary only feeds the NEXT round's pair
+          // count — after the final adopted merge there is no next round,
+          // so the last rewrite+materialization job is skipped outright
+          val next = words.select(
+            replace(col("syms"), lit(" " + pair + " "), lit(" " + pair.replace(" ", "") + " ")).as("syms"),
+            col("freq")).persist(StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize before dropping the previous round
+          words.unpersist(blocking = false)
+          words = next
+        }
         rank += 1
       }
     }
@@ -1210,12 +1247,16 @@ object TrainingOps {
       else {
         val pair = top(0).getString(0)
         merges += ((rank, pair, top(0).getLong(1)))
-        val Array(a, b) = pair.split(" ", 2)
-        val next = vocab.map { case (syms, f) => (mergePairOnce(syms.toArray, a, b).toSeq, f) }
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before dropping the previous round
-        vocab.unpersist(blocking = false)
-        vocab = next
+        if (rank < numMerges) {
+          // as in [[bpeMerges]]: no next round after the final adopted
+          // merge, so the last rewrite+materialization is skipped
+          val Array(a, b) = pair.split(" ", 2)
+          val next = vocab.map { case (syms, f) => (mergePairOnce(syms.toArray, a, b).toSeq, f) }
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize before dropping the previous round
+          vocab.unpersist(blocking = false)
+          vocab = next
+        }
         rank += 1
       }
     }
@@ -1409,12 +1450,25 @@ object TrainingOps {
     * job materializes this (small — boilerplate is a bounded distinct
     * set) and the streaming ingest filter applies it as a plan literal
     * (StreamingOps.scrubBoilerplateLines). Same frequency pipeline as
-    * [[removeBoilerplateLines]]: 8-byte keys, partial-aggregated. */
-  def boilerplateLineHashes(docs: DataFrame, minDocs: Long = 2): DataFrame =
+    * [[removeBoilerplateLines]]: 8-byte keys, partial-aggregated.
+    *
+    * `maxHashes` BOUNDS the literal: "boilerplate is a bounded distinct
+    * set" is an assumption, not a law — on an open crawl, lines with
+    * df ≥ 2 need not be small, and this frame's consumer bakes it into a
+    * streaming plan via collect. The cap keeps the `maxHashes` HIGHEST-df
+    * lines (ties by lh — deterministic), i.e. the scrub degrades by
+    * dropping the RAREST boilerplate first, and the collect is ≤ 8 MB at
+    * the default 2^20 no matter the corpus. Top-k via orderBy+limit is a
+    * TakeOrderedAndProject (per-partition heaps + one merge), never a
+    * global sort. */
+  def boilerplateLineHashes(docs: DataFrame, minDocs: Long = 2,
+                            maxHashes: Int = 1 << 20): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
       .select(xxhash64(col("line")).as("lh"), col("doc_id")).distinct()
       .groupBy(col("lh")).agg(count(lit(1)).as("df"))
       .where(col("df") >= minDocs)
+      .orderBy(col("df").desc, col("lh"))
+      .limit(maxHashes)
       .select(col("lh"))
 
   /** Cross-document boilerplate LINE removal (the CCNet/RefinedWeb

@@ -605,6 +605,28 @@ class QueriesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(qz(1)._2 == Seq(0, 0, 0) && qz(1)._3 == 0.0, s"got $qz")
   }
 
+  test("graft_int_dot matches the composed zip_with/aggregate fold, incl. null and negatives") {
+    val sp = spark; import sp.implicits._
+    import org.apache.spark.sql.functions._
+    graft.expressions.IntDot.register(sp)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map(i => (i.toLong,
+      Array.fill(64)(rnd.nextInt(255) - 127), Array.fill(64)(rnd.nextInt(255) - 127))) :+
+      ((51L, Array.fill(64)(-127), Array.fill(64)(127)))
+    val df = rows.toDF("id", "a", "b")
+    val composed = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("long") * y),
+      lit(0L), (acc, v) => acc + v)
+    val native = call_function(graft.expressions.IntDot.name, col("a"), col("b"))
+    assert(df.where(composed =!= native).count() == 0L)
+    // null propagates like the composed fold
+    val withNull = df.select(col("id"),
+      when(col("id") === 1L, lit(null).cast("array<int>")).otherwise(col("a")).as("a"), col("b"))
+    assert(withNull.where(col("id") === 1L)
+      .select(call_function(graft.expressions.IntDot.name, col("a"), col("b")))
+      .collect().head.isNullAt(0))
+  }
+
   test("knnInt8: quantized cosine tracks float cosine (recall vs brute), zero vector ranks last") {
     val sp = spark; import sp.implicits._
     import org.apache.spark.sql.functions.col

@@ -145,6 +145,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Seq((10L, "x"), (11L, ""), (12L, "keep\nalso")), s"got $got")
   }
 
+  test("boilerplateLineHashes: literal bounded by maxHashes, highest-df lines kept") {
+    val s = spark
+    import s.implicits._
+    // 6 boilerplate lines with df 2..7 — more than the cap of 4
+    val docs = (0 until 7).flatMap { d =>
+      // line Lk appears in docs 0..k+1, so df(Lk) = k+2
+      val lines = (0 until 6).collect { case k if d <= k + 1 => s"L$k" }
+      if (lines.nonEmpty) Some((d.toLong, lines.mkString("\n"))) else None
+    }.toDF("doc_id", "text")
+    val capped = operators.TrainingOps.boilerplateLineHashes(docs, minDocs = 2, maxHashes = 4)
+      .as[Long].collect().toSet
+    assert(capped.size == 4, s"literal must be bounded by the cap, got ${capped.size}")
+    // the survivors are exactly the 4 HIGHEST-df lines (L5 df=7 .. L2 df=4)
+    val expect = Seq("L5", "L4", "L3", "L2").map(l =>
+      docs.sparkSession.sql(s"SELECT xxhash64('$l')").as[Long].head())
+    assert(capped == expect.toSet, "cap must keep the highest-df lines")
+    // uncapped keeps all 6
+    val full = operators.TrainingOps.boilerplateLineHashes(docs, minDocs = 2)
+      .as[Long].collect().toSet
+    assert(full.size == 6 && expect.forall(full))
+  }
+
   test("streaming text repair: stateless codegen rewrites, batch parity, checkpointed waves") {
     val s = spark
     import s.implicits._
